@@ -1,0 +1,42 @@
+"""Vector math over array<float> embedding columns — pure column expressions.
+
+F.aggregate / F.zip_with run JVM-side; no Python in the hot path. Used by
+operators/similarity.py (brute-force + LSH-bucketed ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def sign_bits_col(a: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: sign bits of dot products with fixed hyperplanes,
+    packed into a long. `planes` is a small deterministic list (driver-side
+    constant, broadcast as literals)."""
+    bits = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot_col(a, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**i).cast("long")
+        bits = term if bits is None else bits + term
+    return bits if bits is not None else F.lit(0).cast("long")
