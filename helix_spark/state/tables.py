@@ -1,0 +1,187 @@
+"""Snapshot warehouse: atomic, resumable table state for the crawl.
+
+The north rule calls for Iceberg-checkpointed state. This sandbox has no
+iceberg-spark-runtime jar, so this module provides the same *semantics* on
+plain parquet — manifest-based snapshots with atomic commit — behind an API
+small enough that an Iceberg SQL backend (MERGE INTO / snapshot tags) can be
+swapped in when the jar is present (helix_spark.session.iceberg_jar_available).
+
+Layout (all immutable once written, like Iceberg data/manifest files):
+
+    warehouse/
+      <table>/data-<token>/...            parquet leaf dirs, write-once
+      <table>/manifest-<token>.json       {key, num_buckets, buckets|files}
+      _commits/commit-<n>.json            {wave, tables: {name: manifest}, metrics}
+      _HEAD                               latest commit number (os.replace = atomic)
+
+Scale design:
+- ``merge_upsert`` is bucket-level copy-on-write: the table is hash-bucketed
+  by its key (pmod(xxhash64(key), num_buckets)); a merge rewrites ONLY the
+  buckets containing updated keys and re-links the rest — O(changed data),
+  not O(table). This is what keeps a 10^10-row `seen`/`results` table
+  mergeable per wave.
+- ``append`` links old leaf dirs + one new dir: O(1) data movement.
+- readers prune buckets: ``read(table, buckets=[...])`` reads only the leaf
+  dirs of the named buckets — the exact anti-join against `seen` only scans
+  buckets that bloom-positive candidates hash into.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class SnapshotWarehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+
+    # ------------------------------------------------------------------ paths
+    def _table_dir(self, name: str) -> str:
+        d = os.path.join(self.root, name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _head_path(self) -> str:
+        return os.path.join(self.root, "_HEAD")
+
+    # --------------------------------------------------------------- commits
+    def head_commit(self) -> dict | None:
+        hp = self._head_path()
+        if not os.path.exists(hp):
+            return None
+        with open(hp) as f:
+            n = int(f.read().strip())
+        with open(os.path.join(self.root, "_commits", f"commit-{n:06d}.json")) as f:
+            return json.load(f)
+
+    def commit(self, wave: int, table_manifests: dict[str, str], metrics: dict | None = None) -> int:
+        """Atomically publish a new commit. ``table_manifests`` maps table name
+        → manifest filename (from write/append/merge calls). Tables not named
+        keep their manifest from the previous commit."""
+        prev = self.head_commit()
+        tables = dict(prev["tables"]) if prev else {}
+        tables.update(table_manifests)
+        n = (prev["n"] + 1) if prev else 1
+        commit = {"n": n, "wave": wave, "tables": tables, "metrics": metrics or {}}
+        _atomic_write(
+            os.path.join(self.root, "_commits", f"commit-{n:06d}.json"),
+            json.dumps(commit, indent=1),
+        )
+        _atomic_write(self._head_path(), str(n))
+        return n
+
+    # -------------------------------------------------------------- manifests
+    def _load_manifest(self, name: str, manifest_file: str | None = None) -> dict | None:
+        if manifest_file is None:
+            head = self.head_commit()
+            if not head or name not in head["tables"]:
+                return None
+            manifest_file = head["tables"][name]
+        path = os.path.join(self._table_dir(name), manifest_file)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _save_manifest(self, name: str, manifest: dict) -> str:
+        fname = f"manifest-{uuid.uuid4().hex[:12]}.json"
+        _atomic_write(os.path.join(self._table_dir(name), fname), json.dumps(manifest, indent=1))
+        return fname
+
+    def _new_data_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), f"data-{uuid.uuid4().hex[:12]}")
+
+    # ------------------------------------------------------------ table ops
+    def overwrite(self, name: str, df: DataFrame) -> str:
+        """Replace table contents (unbucketed). Returns manifest filename."""
+        d = self._new_data_dir(name)
+        df.write.mode("overwrite").parquet(d)
+        return self._save_manifest(name, {"key": None, "num_buckets": 0, "files": [d]})
+
+    def append(self, name: str, df: DataFrame) -> str:
+        """Append rows: link previous leaf dirs + one new dir. O(new data)."""
+        m = self._load_manifest(name) or {"key": None, "num_buckets": 0, "files": []}
+        d = self._new_data_dir(name)
+        df.write.mode("overwrite").parquet(d)
+        files = list(m.get("files", []))
+        if m.get("num_buckets"):
+            # flatten a bucketed table into append mode is not supported
+            raise ValueError(f"table {name} is bucketed; use merge_upsert")
+        files.append(d)
+        return self._save_manifest(name, {"key": None, "num_buckets": 0, "files": files})
+
+    def merge_upsert(self, name: str, updates: DataFrame, key: str, num_buckets: int = 64) -> str:
+        """MERGE semantics (WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT) with
+        bucket-level copy-on-write. Last-write-wins on the key within
+        ``updates`` is the caller's responsibility (dedupe first)."""
+        m = self._load_manifest(name)
+        bucketed = updates.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+        )
+        affected = sorted(
+            r[BUCKET_COL] for r in bucketed.select(BUCKET_COL).distinct().collect()
+        )
+        if m is None:
+            m = {"key": key, "num_buckets": num_buckets, "buckets": {}}
+        if m["num_buckets"] != num_buckets or m["key"] != key:
+            raise ValueError(f"table {name}: bucket spec mismatch")
+        buckets: dict[str, list[str]] = {str(k): list(v) for k, v in m.get("buckets", {}).items()}
+        old_paths = [p for b in affected for p in buckets.get(str(b), [])]
+        if old_paths:
+            old = self.spark.read.parquet(*old_paths)
+            keep = old.join(updates.select(key).distinct(), on=key, how="left_anti")
+            keep = keep.withColumn(
+                BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+            )
+            merged = keep.unionByName(bucketed.select(keep.columns))
+        else:
+            merged = bucketed
+        d = self._new_data_dir(name)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(d)
+        for b in affected:
+            sub = os.path.join(d, f"{BUCKET_COL}={b}")
+            buckets[str(b)] = [sub] if os.path.exists(sub) else []
+        return self._save_manifest(name, {"key": key, "num_buckets": num_buckets, "buckets": buckets})
+
+    # --------------------------------------------------------------- readers
+    def exists(self, name: str) -> bool:
+        return self._load_manifest(name) is not None
+
+    def read(self, name: str, buckets: list[int] | None = None) -> DataFrame | None:
+        """Read a table at HEAD. ``buckets`` prunes a bucketed table to the
+        named buckets only (used by the seen-set anti-join)."""
+        m = self._load_manifest(name)
+        if m is None:
+            return None
+        if m.get("num_buckets"):
+            bmap = m.get("buckets", {})
+            sel = bmap.keys() if buckets is None else [str(b) for b in buckets]
+            paths = [p for b in sel for p in bmap.get(str(b), [])]
+        else:
+            paths = list(m.get("files", []))
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def num_buckets(self, name: str) -> int:
+        m = self._load_manifest(name)
+        return int(m.get("num_buckets", 0)) if m else 0

@@ -1,0 +1,95 @@
+"""State layer: snapshot warehouse, bloom, cuckoo."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from helix_spark.state.bloom import PartitionedBloom
+from helix_spark.state.cuckoo import CuckooFilter
+from helix_spark.state.tables import SnapshotWarehouse
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    rng = np.random.default_rng(7)
+    present = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+    absent = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+    absent = np.setdiff1d(absent, present)
+    bloom = PartitionedBloom.sized_for(10_000, p=1e-3, num_slices=8)
+    df = spark.createDataFrame([(int(h),) for h in present], ["url_hash"])
+    bloom.build_update(df)
+    assert bloom.contains_hashes(present).all(), "bloom false negative!"
+    fp_rate = bloom.contains_hashes(absent).mean()
+    assert fp_rate < 0.01, f"fp rate too high: {fp_rate}"
+
+
+def test_bloom_probe_col_and_serde(spark):
+    hashes = list(range(-100, 100, 3))
+    df = spark.createDataFrame([(h,) for h in hashes], ["url_hash"])
+    bloom = PartitionedBloom.sized_for(1000, num_slices=4)
+    bloom.build_update(df)
+    bloom2 = PartitionedBloom.from_rows(bloom.to_rows(wave=1))
+    out = bloom2.probe_col(df).collect()
+    assert all(r["maybe_seen"] for r in out)
+
+
+def test_cuckoo_insert_contains_delete():
+    rng = np.random.default_rng(11)
+    xs = rng.integers(-(2**62), 2**62, 2000, dtype=np.int64)
+    cf = CuckooFilter.sized_for(4000)
+    failed = cf.insert_hashes(xs)
+    assert failed == 0
+    assert cf.contains_hashes(xs).all()
+    others = np.setdiff1d(rng.integers(-(2**62), 2**62, 2000, dtype=np.int64), xs)
+    assert cf.contains_hashes(others).mean() < 0.02
+    half = xs[:1000]
+    cf.delete_hashes(half)
+    # deleted items mostly gone (duplicates of fingerprints may remain)
+    assert cf.contains_hashes(half).mean() < 0.05
+    assert cf.contains_hashes(xs[1000:]).all()
+    rt = CuckooFilter.from_bytes(cf.num_buckets, cf.to_bytes())
+    assert rt.contains_hashes(xs[1000:]).all()
+
+
+def test_warehouse_append_commit_resume(spark, tmp_path):
+    wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    m1 = wh.append("t", df1)
+    wh.commit(wave=0, table_manifests={"t": m1})
+    df2 = spark.createDataFrame([(3, "c")], ["k", "v"])
+    m2 = wh.append("t", df2)
+    wh.commit(wave=1, table_manifests={"t": m2})
+    got = {(r["k"], r["v"]) for r in wh.read("t").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # resume: a fresh warehouse object sees HEAD state
+    wh2 = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+    assert wh2.head_commit()["wave"] == 1
+    assert wh2.read("t").count() == 3
+
+
+def test_warehouse_merge_upsert_bucket_cow(spark, tmp_path):
+    wh = SnapshotWarehouse(spark, str(tmp_path / "wh2"))
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(50)], ["k", "v"])
+    m1 = wh.merge_upsert("r", base, key="k", num_buckets=8)
+    wh.commit(0, {"r": m1})
+    updates = spark.createDataFrame([(5, "NEW5"), (99, "NEW99")], ["k", "v"])
+    m2 = wh.merge_upsert("r", updates, key="k", num_buckets=8)
+    wh.commit(1, {"r": m2})
+    rows = {r["k"]: r["v"] for r in wh.read("r").collect()}
+    assert len(rows) == 51
+    assert rows[5] == "NEW5" and rows[99] == "NEW99" and rows[6] == "v6"
+    # bucket pruning read returns a subset
+    some = wh.read("r", buckets=[0, 1])
+    assert 0 < some.count() < 51
+
+
+def test_warehouse_commit_atomic_head(spark, tmp_path):
+    wh = SnapshotWarehouse(spark, str(tmp_path / "wh3"))
+    assert wh.head_commit() is None
+    df = spark.createDataFrame([(1,)], ["k"])
+    m = wh.overwrite("x", df)
+    n = wh.commit(0, {"x": m}, metrics={"rows": 1})
+    assert n == 1
+    head = wh.head_commit()
+    assert head["metrics"]["rows"] == 1 and head["tables"]["x"] == m
