@@ -1,0 +1,30 @@
+"""Crawl configuration shared by the Spark engine and the serial oracle.
+
+Mirrors the reference's Configurations
+(/root/reference/Bot.Abstractions/Model/Configurations.cs:9-85) plus the
+north-rule politeness knobs that the reference lacks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    seeds: list[str] = field(default_factory=list)
+    remote_host: str | None = None  # Configurations.RemoteHost
+    include_non_http_urls_in_report: bool = True  # Configurations.cs (toggle)
+    include_redirect_urls_in_report: bool = False  # HtmlRenderer.cs:86-87
+    max_renderable_size: int = 10 * 1024 * 1024  # Configurations.cs:49
+    # north-rule politeness (no reference analog)
+    per_host_budget: int = 4
+    salt_partitions: int = 16
+    max_waves: int = 200
+    sort_query: bool = True  # north-rule canonicalization extension
+    # seen-set filter sizing
+    expected_urls: int = 100_000
+    bloom_fp_rate: float = 1e-3
+    bloom_slices: int = 16
+    seen_buckets: int = 32
+    report_buckets: int = 32

@@ -52,7 +52,11 @@ _DOT_END = r"/\.$"
 _UP_SEG = r"/(?!\.\./)[^/]+/\.\./"
 _UP_END = r"/(?!\.\./)[^/]+/\.\.$"
 _LEAD_UP = r"^/\.\.(/|$)"
-_DOT_ITERS = 10
+# Bounded dot-segment removal: both implementations apply the SAME fixed
+# number of passes, so parity holds by construction even on pathological
+# inputs. 4 covers any realistic nesting while keeping the Catalyst
+# expression tree (4×6 regex nodes) small enough to compile fast.
+_DOT_ITERS = 4
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""URL-seen dedup — THE crawl optimization (never fetch a URL twice).
+
+Reference semantics (/root/reference/Bot/Block/CoordinatorBlock.cs:235-264):
+first-wins TryAdd against the seen set, serialized in arrival order. Spark
+translation per wave:
+
+1. first-wins WITHIN the wave's admission batch: row_number over url_hash
+   ordered by admission order (parent_priority, seq) → keep rank 1
+2. bloom prefilter (broadcast, mapInPandas probe): bloom-negative rows are
+   DEFINITELY unseen → admitted without touching the seen table
+3. bloom-positive rows go through the exact left-anti join against the
+   bucketed `seen` table — and the read is PRUNED to the buckets the
+   candidates hash into (SnapshotWarehouse.read(buckets=...))
+
+A bloom false positive costs one join probe; it can never drop a URL.
+At 10^10 seen URLs, step 2 removes ~99.9% of the anti-join's left side and
+step 3's bucket pruning bounds the right side scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from helix_spark.state.bloom import PartitionedBloom
+from helix_spark.state.tables import SnapshotWarehouse
+
+
+def first_wins_in_batch(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """Keep the first row per key in admission order (TryAdd semantics
+    within one wave)."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    warehouse: SnapshotWarehouse,
+    bloom: PartitionedBloom | None,
+    seen_table: str = "seen",
+    key: str = "url_hash",
+    seen_key: str = "key_hash",
+) -> DataFrame:
+    """candidates → subset whose ``key`` hash is NOT in the seen table
+    (seen table column: ``seen_key``)."""
+    if not warehouse.exists(seen_table):
+        return candidates
+    if bloom is not None:
+        probed = bloom.probe_col(candidates, hash_col=key, out_col="__maybe")
+        definite_new = probed.filter(~F.col("__maybe")).drop("__maybe")
+        maybe = probed.filter(F.col("__maybe")).drop("__maybe")
+    else:
+        definite_new = None
+        maybe = candidates
+
+    nb = warehouse.num_buckets(seen_table)
+    buckets = None
+    if nb:
+        buckets = [
+            r["b"]
+            for r in maybe.select(F.pmod(F.col(key), F.lit(nb)).cast("int").alias("b"))
+            .distinct()
+            .collect()
+        ]
+    seen = warehouse.read(seen_table, buckets=buckets)
+    if seen is None:
+        survivors = maybe
+    else:
+        seen_keys = seen.select(F.col(seen_key).alias(key)).distinct()
+        survivors = maybe.join(seen_keys, on=key, how="left_anti")
+    if definite_new is not None:
+        survivors = definite_new.unionByName(survivors.select(definite_new.columns))
+    return survivors

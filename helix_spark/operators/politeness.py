@@ -1,0 +1,103 @@
+"""Per-host politeness priority queue — the north-rule scheduler.
+
+Replaces the reference's renderer-lease JoinBlock backpressure
+(/root/reference/Bot/Workflow/BrokenLinkCollectionWorkflow.cs:37) with a
+batch selector:
+
+- robots gate: broadcast join against the (small) robots table; a URL whose
+  path starts with a disallowed prefix for its host is rejected at admission
+  (status −104, reported, recorded in seen — our extension; the reference
+  has no robots support).
+- crawl-delay gate: host_state.next_allowed_wave ≤ current wave (logical
+  clock — no wall-clock, tests stay deterministic).
+- per-host budget: top-k per host by priority. SKEW-SAFE two-phase top-k:
+  phase 1 windows over (host, salt = pmod(url_hash, S)) and keeps k per
+  salt — a hot host's frontier rows are spread over S partitions instead of
+  one giant window partition; phase 2 windows over host on the ≤ S·k
+  survivors for the EXACT top-k. AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STATUS_ROBOTS_DISALLOWED = -104  # helix-spark extension (no reference analog)
+
+
+def robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Adds boolean ``robots_blocked``. robots(host, disallow_prefixes,
+    crawl_delay_waves) is small → broadcast."""
+    path = F.regexp_replace(
+        F.col("canonical_url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*", ""
+    )
+    joined = candidates.join(
+        F.broadcast(robots.select("host", "disallow_prefixes")), on="host", how="left"
+    )
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.withColumn("robots_blocked", F.coalesce(blocked, F.lit(False))).drop(
+        "disallow_prefixes"
+    )
+
+
+def select_batch(
+    frontier: DataFrame,
+    host_state: DataFrame | None,
+    wave: int,
+    per_host_budget: int,
+    salt_partitions: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (batch, remainder). batch = up to ``per_host_budget`` URLs per
+    eligible host, lowest ``priority`` first; remainder stays queued."""
+    if host_state is not None:
+        f = frontier.join(F.broadcast(host_state), on="host", how="left")
+        eligible = f.filter(
+            F.coalesce(F.col("next_allowed_wave"), F.lit(0)) <= F.lit(wave)
+        ).drop("next_allowed_wave")
+        blocked = f.filter(
+            F.coalesce(F.col("next_allowed_wave"), F.lit(0)) > F.lit(wave)
+        ).drop("next_allowed_wave")
+    else:
+        eligible, blocked = frontier, frontier.limit(0)
+
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_partitions))
+    w1 = Window.partitionBy(F.col("host"), salt).orderBy("priority")
+    w2 = Window.partitionBy("host").orderBy("priority")
+    batch = (
+        eligible.withColumn("__salt_rank", F.row_number().over(w1))
+        .filter(F.col("__salt_rank") <= per_host_budget)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= per_host_budget)
+        .drop("__salt_rank", "__r2")
+    )
+    remainder = eligible.join(batch.select("url_hash"), on="url_hash", how="left_anti").unionByName(
+        blocked
+    )
+    return batch, remainder
+
+
+def next_host_state(
+    batch: DataFrame, robots: DataFrame | None, wave: int, host_state: DataFrame | None
+) -> DataFrame:
+    """Hosts fetched this wave become eligible again at
+    wave + 1 + crawl_delay_waves (logical clock)."""
+    hosts = batch.select("host").distinct()
+    if robots is not None:
+        hosts = hosts.join(
+            F.broadcast(robots.select("host", "crawl_delay_waves")), on="host", how="left"
+        )
+    else:
+        hosts = hosts.withColumn("crawl_delay_waves", F.lit(0))
+    updated = hosts.select(
+        "host",
+        (F.lit(wave + 1) + F.coalesce(F.col("crawl_delay_waves"), F.lit(0))).alias(
+            "next_allowed_wave"
+        ),
+    )
+    if host_state is None:
+        return updated
+    carried = host_state.join(updated.select("host"), on="host", how="left_anti")
+    return carried.unionByName(updated)

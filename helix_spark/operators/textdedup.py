@@ -1,0 +1,139 @@
+"""Training-data deduplication operators over a documents table.
+
+All pure column expressions (JVM-side):
+- exact dedup: hash-groupBy on text with a deterministic keeper
+- MinHash signatures: k permutations of md5-derived shingle ints
+  (md5 → first 15 hex chars → int60 is reproducible in ANY SQL engine,
+  which is what lets DuckDB oracle-check the signatures exactly)
+- MinHash-LSH banding: signature bands → bucket ids → candidate pairs
+- n-gram Jaccard: shingle explode + self-join + |∩|/|∪|
+- SimHash: sign-aggregated token-hash bits
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from helix_spark.functions.text import shingles_col
+
+# (a, b) pairs for the universal-hash permutations h_i(x) = (a_i*x + b_i) % P
+MINHASH_PRIME = 2305843009213693951  # 2^61 − 1 (Mersenne)
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1299721, 104729), (15485863, 32452843), (49979687, 86028121),
+    (67867967, 122949823), (141650939, 198491317), (217645177, 256203161),
+    (295075147, 314606869), (370248451, 413158511),
+]
+
+
+def md5_int60_col(s):
+    """First 60 bits of md5 as a signed-positive long — identical in Spark
+    (conv) and DuckDB (('0x'||substr)::bigint)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one keeper (min id) per distinct text."""
+    return docs.groupBy(md5_int60_col(F.col(text_col)).alias("text_fp")).agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+def minhash_signature(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash over word shingles. Documents with no shingles
+    (shorter than n words) get NULL components."""
+    sh = shingles_col(F.col(text_col), shingle_n)
+    ints = F.transform(sh, lambda s: md5_int60_col(s))
+    cols = [F.col(id_col)]
+    for i in range(k):
+        a, b = MINHASH_PERMS[i]
+        perm = F.transform(ints, lambda x, a=a, b=b: (x * a + b) % MINHASH_PRIME)
+        cols.append(F.array_min(perm).alias(f"mh{i}"))
+    return docs.select(*cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the k-component signature into bands, bucket-join.
+    → candidate pairs (id_a < id_b) that share ≥1 band bucket. Scale path:
+    the self-join is on (band, bucket) — hash-partitioned, no full cross."""
+    sig = minhash_signature(docs, text_col, id_col, k, shingle_n)
+    rows_per_band = k // bands
+    buckets = []
+    for b in range(bands):
+        comps = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        bucket = F.xxhash64(*comps)
+        buckets.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    exploded = buckets[0]
+    for bdf in buckets[1:]:
+        exploded = exploded.unionByName(bdf)
+    left = exploded.withColumnRenamed(id_col, "id_a")
+    right = exploded.withColumnRenamed(id_col, "id_b")
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via shingle explode + equi-self-join.
+    Output pairs with jaccard_milli = floor(1000*|∩|/|∪|) ≥ threshold."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .withColumn(
+            "jaccard_milli",
+            F.floor(
+                F.lit(1000) * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_milli") >= int(threshold * 1000))
+        .select("id_a", "id_b", "n_common", "jaccard_milli")
+    )
+    return out
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              bits: int = 16) -> DataFrame:
+    """SimHash: per token, md5-derived bits vote ±1; sign per bit position.
+    ``bits`` kept small so the SQL oracle (nested per-bit sums) stays sane."""
+    from helix_spark.functions.text import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    ints = F.transform(toks, lambda t: md5_int60_col(t))
+    val = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(
+            ints,
+            F.lit(0).cast("long"),
+            lambda acc, x, i=i: acc
+            + F.when(((x / F.lit(2**i)).cast("long") % 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        val = val + F.when(vote > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
+    return docs.select(F.col(id_col), val.alias("simhash"))

@@ -64,8 +64,13 @@ def page_status(i: int) -> int:
 
 
 def redirect_target(i: int, N: int) -> int:
-    t = (i * 3 + 7) % N
-    return t if t != i else (i * 3 + 8) % N
+    """Same-host-biased for host-0 pages so internal redirect chains exist
+    (cross-host targets are external → verified but never expanded)."""
+    if i % HOT_HOST_MOD == 0:
+        t = HOT_HOST_MOD * (((i // HOT_HOST_MOD) * 3 + 7) % max(N // HOT_HOST_MOD, 1))
+    else:
+        t = (i * 3 + 7) % N
+    return t if t != i else (t + HOT_HOST_MOD) % N
 
 
 def page_content_type(i: int) -> str:
@@ -81,6 +86,12 @@ def n_links(i: int) -> int:
 
 
 def link_target(i: int, j: int, N: int) -> int:
+    """Even j → same-host target (internal, expandable); odd j → scattered
+    (mostly external: verified-not-expanded, ResourceVerifierBlock.cs:68)."""
+    if j % 2 == 0 and i % HOT_HOST_MOD == 0:
+        return HOT_HOST_MOD * (
+            ((i // HOT_HOST_MOD) * 7 + j * 13 + 1) % max(N // HOT_HOST_MOD, 1)
+        )
     return (i * 7 + j * 13 + 1) % N
 
 
@@ -261,17 +272,24 @@ def gen_pages_spark(spark: SparkSession, N: int, H: int = 8) -> DataFrame:
             t % PRIVATE_MOD == 12, F.concat(F.lit("/private/p"), t.cast("string"))
         ).otherwise(F.concat(F.lit("/p/"), t.cast("string")))
 
-    rt = (i * 3 + 7) % N
-    rt = F.when(rt == i, (i * 3 + 8) % N).otherwise(rt)
+    HOT = HOT_HOST_MOD
+    idiv = F.floor(i / HOT).cast("long")
+    rt0 = F.when(
+        i % HOT == 0, F.lit(HOT) * ((idiv * 3 + 7) % F.lit(max(N // HOT, 1)))
+    ).otherwise((i * 3 + 7) % N)
+    rt = F.when(rt0 == i, (rt0 + HOT) % N).otherwise(rt0)
     redirect_to = F.when(status == 301, url_of(rt)).otherwise(F.lit(None))
+
+    def tgt(j):
+        same_host = F.lit(HOT) * ((idiv * 7 + j * 13 + 1) % F.lit(max(N // HOT, 1)))
+        scattered = (i * 7 + j * 13 + 1) % N
+        return F.when((j % 2 == 0) & (i % HOT == 0), same_host).otherwise(scattered)
 
     anchors = F.transform(
         F.sequence(F.lit(0), (i % 4).cast("int")),
         lambda j: F.concat(
             F.lit('<a href="'),
-            F.when(j % 2 == 0, url_of((i * 7 + j * 13 + 1) % N)).otherwise(
-                path_of((i * 7 + j * 13 + 1) % N)
-            ),
+            F.when(j % 2 == 0, url_of(tgt(j))).otherwise(path_of(tgt(j))),
             F.lit('">link'),
             j.cast("string"),
             F.lit("</a>"),

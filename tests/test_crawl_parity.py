@@ -1,0 +1,146 @@
+"""Engine ↔ oracle parity on the synthetic site (SURVEY.md §5 strategy #2).
+
+The serial oracle (plans/oracle.py) encodes the reference's coordinator/
+verifier/renderer semantics; the Spark engine must reproduce, given the same
+seed list and politeness budget:
+
+1. the URL-seen set EXACTLY (key → status map, null = queued-never-settled)
+2. the verification report EXACTLY (one row per verified_url)
+3. the fetch order EXACTLY ((wave, url) sequence)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from helix_spark.config import CrawlConfig
+from helix_spark.plans.crawl import CrawlEngine
+from helix_spark.plans.oracle import SerialOracle
+from helix_spark.sources import synthetic
+
+
+def _build_universe(spark, N=60, H=6):
+    pages_pd = synthetic.gen_pages_py(N, H)
+    assets_pd = synthetic.gen_assets_py(N, H, n_images=16)
+    robots_pd = synthetic.gen_robots_py(H)
+    pages = spark.createDataFrame(pages_pd)
+    assets = spark.createDataFrame(assets_pd)
+    robots = spark.createDataFrame(robots_pd)
+    return pages_pd, assets_pd, robots_pd, pages, assets, robots
+
+
+def _run_both(spark, tmp_path, cfg, N=60, H=6):
+    pages_pd, assets_pd, robots_pd, pages, assets, robots = _build_universe(spark, N, H)
+    oracle = SerialOracle(cfg, pages_pd, assets_pd, robots_pd).run()
+    engine = CrawlEngine(spark, cfg, str(tmp_path / "wh"), pages, assets, robots)
+    outcome = engine.run()
+    return oracle, engine, outcome
+
+
+def _engine_seen(engine) -> dict:
+    df = engine.wh.read("seen")
+    return {r["key"]: r["status_code"] for r in df.collect()}
+
+
+def _engine_report(engine) -> dict:
+    df = engine.wh.read("report")
+    return {
+        r["verified_url"]: {
+            "verified_url": r["verified_url"],
+            "parent_url": r["parent_url"],
+            "is_internal": r["is_internal"],
+            "resource_type": r["resource_type"],
+            "status_code": r["status_code"],
+        }
+        for r in df.collect()
+    }
+
+
+def _engine_order(engine) -> list:
+    df = engine.wh.read("crawl_log")
+    return [
+        (r["wave"], r["url"])
+        for r in df.orderBy("wave", "priority").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def parity(spark, tmp_path_factory):
+    cfg = CrawlConfig(
+        seeds=["http://host0.test/p/0"],
+        per_host_budget=3,
+        max_waves=60,
+        expected_urls=10_000,
+        bloom_slices=4,
+        seen_buckets=8,
+        report_buckets=8,
+    )
+    tmp = tmp_path_factory.mktemp("parity")
+    oracle, engine, outcome = _run_both(spark, tmp, cfg)
+    return oracle, engine, outcome
+
+
+def test_crawl_completes(parity):
+    oracle, engine, outcome = parity
+    assert not outcome.aborted and not oracle.aborted
+    assert outcome.total_fetched >= 15  # host0 subgraph closure at N=60
+
+
+def test_seen_set_parity(parity):
+    oracle, engine, _ = parity
+    got = _engine_seen(engine)
+    missing = set(oracle.seen) - set(got)
+    extra = set(got) - set(oracle.seen)
+    assert not missing, f"engine missing {len(missing)}: {sorted(missing)[:5]}"
+    assert not extra, f"engine extra {len(extra)}: {sorted(extra)[:5]}"
+    diffs = {k: (oracle.seen[k], got[k]) for k in oracle.seen if oracle.seen[k] != got[k]}
+    assert not diffs, f"status mismatches: {dict(list(diffs.items())[:5])}"
+
+
+def test_report_parity(parity):
+    oracle, engine, _ = parity
+    got = _engine_report(engine)
+    assert set(got) == set(oracle.report), (
+        f"missing={sorted(set(oracle.report) - set(got))[:5]} "
+        f"extra={sorted(set(got) - set(oracle.report))[:5]}"
+    )
+    for k, want in oracle.report.items():
+        assert got[k] == want, f"{k}: engine={got[k]} oracle={want}"
+
+
+def test_crawl_order_parity(parity):
+    oracle, engine, _ = parity
+    got = _engine_order(engine)
+    assert got == oracle.crawl_order, (
+        f"first divergence: "
+        f"{next(((i, a, b) for i, (a, b) in enumerate(zip(got, oracle.crawl_order)) if a != b), None)} "
+        f"len {len(got)} vs {len(oracle.crawl_order)}"
+    )
+
+
+def test_broken_set_derivation(parity):
+    oracle, engine, _ = parity
+    df = engine.wh.read("report")
+    broken = {
+        r["verified_url"]
+        for r in df.filter(F.abs(F.col("status_code")) >= 400).collect()
+    }
+    oracle_broken = {
+        k for k, v in oracle.report.items() if abs(v["status_code"]) >= 400
+    }
+    assert broken == oracle_broken and len(broken) > 0
+
+
+def test_abort_on_seed_redirect(spark, tmp_path):
+    cfg = CrawlConfig(
+        seeds=["http://host0.test/p/3"],  # i=3 → 301 (REDIR_MOD)
+        per_host_budget=2,
+        max_waves=10,
+        expected_urls=1000,
+        bloom_slices=4,
+        seen_buckets=4,
+        report_buckets=4,
+    )
+    oracle, engine, outcome = _run_both(spark, tmp_path, cfg, N=40, H=4)
+    assert oracle.aborted and outcome.aborted
