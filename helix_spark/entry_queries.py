@@ -1,0 +1,631 @@
+"""Driver-checkable query battery: each crawl operator / pipeline op from
+SURVEY.md §2, expressed over the driver's TPC-H-ish testdata with an exact
+ANSI-SQL (DuckDB) oracle twin.
+
+Determinism rules applied throughout (the driver hash-compares values):
+- monetary/double sums go through DECIMAL(18,2) casts (exact, order-free)
+- ratios become integers via floor(x*1000) (no round-half rules in play)
+- every top-k ranks with an explicit unique tiebreaker, never bare LIMIT
+- md5-derived int60 is the cross-engine hash (Spark conv() == DuckDB 0x cast)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from helix_spark.functions.status import resource_type_col
+from helix_spark.functions.text import (
+    LANG_STOPWORDS,
+    BPE_TOKEN_RE,
+    TOKEN_SPLIT_RE,
+    lang_id_col,
+    token_count_col,
+    tokens_col,
+)
+from helix_spark.functions.urls import canonical_url_col
+from helix_spark.operators.textdedup import (
+    exact_dedup,
+    md5_int60_col,
+    minhash_signature,
+    ngram_jaccard_pairs,
+)
+from helix_spark.operators.similarity import brute_force_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DEC = "decimal(18,2)"
+
+# ---------------------------------------------------------------------------
+# crawl-operator family (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+def q_seen_anti_join(spark, sf):
+    """The seen-set dedup join (CoordinatorBlock.cs:235-264 analog):
+    parts that never appear in lineitem."""
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return part.join(li.select("l_partkey"), part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+SQL_SEEN_ANTI_JOIN = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_first_wins_dedup(spark, sf):
+    """First-wins TryAdd semantics (CoordinatorBlock.cs:259): first event per
+    user in (ts, event_id) order."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"),
+                F.col("event_type").alias("first_event_type"))
+    )
+
+
+SQL_FIRST_WINS = """
+SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+"""
+
+
+def q_per_host_topk(spark, sf):
+    """Politeness batch selection window (per-host budget top-k)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+    )
+
+
+SQL_PER_HOST_TOPK = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rank
+FROM events QUALIFY rank <= 3
+"""
+
+
+def q_status_class_agg(spark, sf):
+    """Status-class counters (Statistics.cs analog) — TPC-H Q1 shape."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_STATUS_CLASS_AGG = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broken_range_filter(spark, sf):
+    """broken ⇔ abs(status) ≥ threshold (ExtensionMethods.cs:9)."""
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.abs(F.col("value")) >= 150).select("event_id", "event_type")
+
+
+SQL_BROKEN_RANGE = "SELECT event_id, event_type FROM events WHERE abs(value) >= 150"
+
+
+def q_union_dedup(spark, sf):
+    """captured ∪ extracted set union (PostProcessorBlock.cs:26-28 analog)."""
+    c = _t(spark, sf, "customer").select(F.col("c_name").alias("name"))
+    s = _t(spark, sf, "supplier").select(F.col("s_name").alias("name"))
+    return c.union(s).distinct()
+
+
+SQL_UNION_DEDUP = "SELECT c_name AS name FROM customer UNION SELECT s_name FROM supplier"
+
+
+_EVENT_CTYPE = [
+    ("click", "text/html; charset=utf-8"),
+    ("view", "image/png"),
+    ("purchase", "application/json"),
+    ("signup", "application/font-woff"),
+    ("error", "text/plain"),
+]
+
+
+def q_content_type_classify(spark, sf):
+    """The ordered prefix-match content-type map itself
+    (HttpContentTypeToResourceTypeDictionary.cs:12-53)."""
+    ev = _t(spark, sf, "events")
+    ct = None
+    for etype, c in _EVENT_CTYPE:
+        ct = (F.when(F.col("event_type") == etype, F.lit(c)) if ct is None
+              else ct.when(F.col("event_type") == etype, F.lit(c)))
+    return (
+        ev.withColumn("resource_type", resource_type_col(ct))
+        .groupBy("resource_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_ctype_case() -> str:
+    whens = "\n".join(
+        f"WHEN event_type = '{e}' THEN '{c}'" for e, c in _EVENT_CTYPE
+    )
+    from helix_spark.functions.status import CONTENT_TYPE_MAP
+
+    classify = "\n".join(
+        f"WHEN lower(ct) LIKE '{p}%' THEN '{r}'" for p, r in CONTENT_TYPE_MAP
+    )
+    return f"""
+WITH typed AS (
+  SELECT CASE {whens} END AS ct FROM events
+)
+SELECT CASE {classify} ELSE 'Unknown' END AS resource_type, COUNT(*) AS n
+FROM typed GROUP BY 1
+"""
+
+
+def q_url_canonicalize(spark, sf):
+    """URL canonicalization kernel over synthesized URLs (Resource.cs:36-66
+    semantics: lower scheme/host, strip fragment, drop :80, sort params,
+    remove dot segments)."""
+    ev = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("HTTP://Host"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".Test.com:80/a/b/../c/./d?b="), (F.col("event_id") % 13).cast("string"),
+        F.lit("&a="), (F.col("user_id") % 7).cast("string"), F.lit("#frag"),
+    )
+    return ev.select("event_id", canonical_url_col(url).alias("canonical_url"))
+
+
+SQL_URL_CANONICALIZE = """
+SELECT event_id,
+       'http://host' || (user_id % 50) || '.test.com/a/c/d?' ||
+       array_to_string(list_sort(['b=' || (event_id % 13), 'a=' || (user_id % 7)]), '&')
+       AS canonical_url
+FROM events
+"""
+
+
+def q_host_budget_agg(spark, sf):
+    """Per-host frontier statistics (politeness budget inputs)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+SQL_HOST_BUDGET = """
+SELECT user_id, COUNT(*) AS n_events, MIN(event_id) AS min_event, MAX(event_id) AS max_event
+FROM events GROUP BY user_id
+"""
+
+
+def q_except_anti(spark, sf):
+    """except/anti set op: customers who never ordered."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_EXCEPT_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_topk_revenue_join(spark, sf):
+    """Join + agg + deterministic top-k (TPC-H Q3 shape): top 10 orders of
+    BUILDING-segment customers by line count and decimal price sum."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    w = Window.orderBy(F.col("sum_price").desc(), F.col("o_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("o_orderkey", "sum_price", "n_lines", "rank")
+    )
+
+
+SQL_TOPK_REVENUE = """
+WITH agg AS (
+  SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         COUNT(*) AS n_lines
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey
+)
+SELECT o_orderkey, sum_price, n_lines,
+       row_number() OVER (ORDER BY sum_price DESC, o_orderkey) AS rank
+FROM agg QUALIFY rank <= 10
+"""
+
+
+def q_region_rollup_join(spark, sf):
+    """Broadcast dim-chain join (TPC-H Q5 shape): line counts + decimal
+    revenue by region and nation."""
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+        )
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_sessionize(spark, sf):
+    """Stateful sessionization (30-min gap) via lag + running sum."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_s).over(w)
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_windowed_counts(spark, sf):
+    """Tumbling 1-hour event counts (streaming-agg analog, batch form)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_WINDOWED_COUNTS = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_extract(spark, sf):
+    """Semi-structured props extraction."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_mod")).agg(F.count("*").alias("n"))
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return exact_dedup(docs)
+
+
+SQL_EXACT_DEDUP = """
+SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_fp,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", md5_int60_col(F.col("text")).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents
+"""
+
+
+def q_token_count(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tok"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS n_tok,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf):
+    """Surface-statistics quality score in integer milli-units."""
+    docs = _t(spark, sf, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    n_tokens = token_count_col(text)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
+    tok_band = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    nonempty = F.when(n_tokens >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.floor((alpha_ratio + tok_band + nonempty) / F.lit(3.0) * 1000).cast("long")
+    return docs.select("doc_id", score.alias("quality_milli"))
+
+
+SQL_QUALITY_SCORE = f"""
+WITH s AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS n_tok
+  FROM documents
+)
+SELECT doc_id, CAST(floor((
+    (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+  + (CASE WHEN n_tok > 0 AND n_alpha / n_tok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+  + (CASE WHEN n_tok >= 5 THEN 1.0 ELSE 0.0 END)) / 3.0 * 1000) AS BIGINT) AS quality_milli
+FROM s
+"""
+
+
+def q_lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang"))
+
+
+def _sql_lang_id() -> str:
+    hits = []
+    for lang, sw in sorted(LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in sw)
+        hits.append(
+            f"len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),"
+            f" x -> x IN ({lst}))) AS h_{lang}"
+        )
+    langs_desc = sorted(LANG_STOPWORDS, reverse=True)  # ties → greatest code
+    case = []
+    for lang in langs_desc:
+        others = [o for o in langs_desc if o != lang]
+        cond = " AND ".join(f"h_{lang} >= h_{o}" for o in others)
+        case.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents)
+SELECT doc_id, CASE {' '.join(case)} END AS pred_lang FROM h
+"""
+
+
+def q_minhash_signature(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return minhash_signature(docs, k=4)
+
+
+def _sql_minhash() -> str:
+    from helix_spark.operators.textdedup import MINHASH_PERMS, MINHASH_PRIME
+
+    comps = []
+    for i in range(4):
+        a, b = MINHASH_PERMS[i]
+        comps.append(
+            f"list_min(list_transform(shingle_ints,"
+            f" x -> ((x % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME})) AS mh{i}"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> array_to_string(t[i:i+2], ' ')) AS shingles
+  FROM toks
+), ints AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS shingle_ints
+  FROM sh
+)
+SELECT doc_id, {', '.join(comps)} FROM ints
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          i -> array_to_string(t[i:i+2], ' ')))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_b, id_a, n_common,
+       CAST(floor(1000.0 * n_common / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS jaccard_milli
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE floor(1000.0 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= 200
+"""
+
+
+def q_embedding_topk(spark, sf):
+    """Brute-force cosine top-10 against the vec_id=0 query vector."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return brute_force_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) AS cos
+  FROM embeddings, q WHERE vec_id > 0
+)
+SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_e4
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def q_embedding_label_centroid_dist(spark, sf):
+    """Per-label vector stats: counts + integer-quantized mean norm."""
+    emb = _t(spark, sf, "embeddings")
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return (
+        emb.select("label", F.floor(norm2 * 1000).cast("long").alias("norm2_milli"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.sum("norm2_milli").alias("sum_norm2_milli"))
+    )
+
+
+SQL_EMB_LABEL_STATS = """
+WITH n AS (
+  SELECT label,
+         CAST(floor(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,b) -> a+b) * 1000) AS BIGINT) AS norm2_milli
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n, SUM(norm2_milli) AS sum_norm2_milli FROM n GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "seen_anti_join": q_seen_anti_join,
+    "first_wins_dedup": q_first_wins_dedup,
+    "per_host_topk": q_per_host_topk,
+    "status_class_agg": q_status_class_agg,
+    "broken_range_filter": q_broken_range_filter,
+    "union_dedup": q_union_dedup,
+    "content_type_classify": q_content_type_classify,
+    "url_canonicalize": q_url_canonicalize,
+    "host_budget_agg": q_host_budget_agg,
+    "except_anti": q_except_anti,
+    "topk_revenue_join": q_topk_revenue_join,
+    "region_rollup_join": q_region_rollup_join,
+    "sessionize": q_sessionize,
+    "windowed_counts": q_windowed_counts,
+    "json_extract": q_json_extract,
+    "exact_dedup": q_exact_dedup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "minhash_signature": q_minhash_signature,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
+    "embedding_label_stats": q_embedding_label_centroid_dist,
+}
+
+ORACLE: dict[str, str] = {
+    "seen_anti_join": SQL_SEEN_ANTI_JOIN,
+    "first_wins_dedup": SQL_FIRST_WINS,
+    "per_host_topk": SQL_PER_HOST_TOPK,
+    "status_class_agg": SQL_STATUS_CLASS_AGG,
+    "broken_range_filter": SQL_BROKEN_RANGE,
+    "union_dedup": SQL_UNION_DEDUP,
+    "content_type_classify": _sql_ctype_case(),
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "host_budget_agg": SQL_HOST_BUDGET,
+    "except_anti": SQL_EXCEPT_ANTI,
+    "topk_revenue_join": SQL_TOPK_REVENUE,
+    "region_rollup_join": SQL_REGION_ROLLUP,
+    "sessionize": SQL_SESSIONIZE,
+    "windowed_counts": SQL_WINDOWED_COUNTS,
+    "json_extract": SQL_JSON_EXTRACT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lang_id": _sql_lang_id(),
+    "minhash_signature": _sql_minhash(),
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_label_stats": SQL_EMB_LABEL_STATS,
+}

@@ -57,9 +57,13 @@ def lang_id_col(text: Column) -> Column:
     nested CASE.
     """
     toks = tokens_col(text)
+
+    def _hits(sw):
+        return lambda t: t.isin(*sw)
+
     scores = [
         F.struct(
-            F.size(F.filter(toks, lambda t, sw=sw: t.isin(*sw))).alias("hits"),
+            F.size(F.filter(toks, _hits(sw))).alias("hits"),
             F.lit(lang).alias("lang"),
         )
         for lang, sw in sorted(LANG_STOPWORDS.items())
@@ -82,10 +86,14 @@ def quality_score_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings 'w1 w2 w3' → array<string> (may be empty)."""
+    """Word k-shingles as strings 'w1 w2 w3' → array<string> (may be empty).
+    Guarded: F.sequence(1, 0) would yield a DESCENDING [1, 0], so short
+    documents explicitly map to an empty array."""
     toks = tokens_col(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.array_join(F.slice(toks, i, k), " "),

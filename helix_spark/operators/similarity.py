@@ -24,10 +24,13 @@ def brute_force_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine similarity; deterministic tiebreak on id."""
+    """Exact top-k by cosine similarity; deterministic tiebreak on id.
+    Elements are cast to double BEFORE any arithmetic so results are
+    bit-reproducible against a double-precision SQL oracle."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scored = embeddings.select(
         F.col(id_col),
-        cosine_col(F.col(vec_col), _lit_array(query_vec)).alias("cos"),
+        cosine_col(dvec, _lit_array(query_vec)).alias("cos"),
     )
     w = Window.orderBy(F.col("cos").desc(), F.col(id_col))
     return (

@@ -17,8 +17,11 @@ from pyspark.sql import functions as F
 
 from helix_spark.functions.text import shingles_col
 
-# (a, b) pairs for the universal-hash permutations h_i(x) = (a_i*x + b_i) % P
-MINHASH_PRIME = 2305843009213693951  # 2^61 − 1 (Mersenne)
+# (a, b) pairs for the universal-hash permutations
+# h_i(x) = ((x % P) * a_i + b_i) % P with P = 2^31 − 1 and a_i, b_i < P:
+# (x % P) * a < 2^62, so the arithmetic never overflows int64 in either
+# Spark or DuckDB (DuckDB RAISES on bigint overflow instead of wrapping).
+MINHASH_PRIME = 2147483647  # 2^31 − 1 (Mersenne)
 MINHASH_PERMS: list[tuple[int, int]] = [
     (1299721, 104729), (15485863, 32452843), (49979687, 86028121),
     (67867967, 122949823), (141650939, 198491317), (217645177, 256203161),
@@ -47,11 +50,15 @@ def minhash_signature(
     (shorter than n words) get NULL components."""
     sh = shingles_col(F.col(text_col), shingle_n)
     ints = F.transform(sh, lambda s: md5_int60_col(s))
+    def _perm(a, b):
+        # closure factory: PySpark derives lambda arity from the signature,
+        # so default-arg captures (lambda x, a=a) would read as multi-arg
+        return lambda x: ((x % MINHASH_PRIME) * a + b) % MINHASH_PRIME
+
     cols = [F.col(id_col)]
     for i in range(k):
         a, b = MINHASH_PERMS[i]
-        perm = F.transform(ints, lambda x, a=a, b=b: (x * a + b) % MINHASH_PRIME)
-        cols.append(F.array_min(perm).alias(f"mh{i}"))
+        cols.append(F.array_min(F.transform(ints, _perm(a, b))).alias(f"mh{i}"))
     return docs.select(*cols)
 
 
@@ -127,13 +134,13 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     toks = tokens_col(F.col(text_col))
     ints = F.transform(toks, lambda t: md5_int60_col(t))
+    def _voter(i):
+        return lambda acc, x: acc + F.when(
+            ((x / F.lit(2**i)).cast("long") % 2) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     val = F.lit(0).cast("long")
     for i in range(bits):
-        vote = F.aggregate(
-            ints,
-            F.lit(0).cast("long"),
-            lambda acc, x, i=i: acc
-            + F.when(((x / F.lit(2**i)).cast("long") % 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
+        vote = F.aggregate(ints, F.lit(0).cast("long"), _voter(i))
         val = val + F.when(vote > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
     return docs.select(F.col(id_col), val.alias("simhash"))
