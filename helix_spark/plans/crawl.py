@@ -281,6 +281,35 @@ class CrawlEngine:
         )
         return frontier_rows, report_rows, seen_rows, counts
 
+    # ----------------------------------------------------------- bootstrap
+    def bootstrap_frontier(self, urls: DataFrame) -> int:
+        """Pre-populate the frontier from a DataFrame of absolute URLs
+        (column ``url``) — the resumed-crawl-with-backlog scenario used for
+        frontier-throughput benchmarking at 10^x scale. URLs are admitted
+        through the full pipeline (canonicalize, robots, dedup, bloom) with
+        themselves as parents (internal, non-orphan). Returns admitted count."""
+        items = urls.select(
+            F.col("url").alias("raw"),
+            F.col("url").alias("resolved"),
+            F.col("url").alias("parent_url"),
+            F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("parent_host"),
+            F.lit(True).alias("is_extracted"),
+            F.lit(0).alias("status_pre"),
+            F.lit(None).cast("string").alias("ctype_pre"),
+            F.lit(None).cast("long").alias("size_pre"),
+            F.lit(True).alias("is_internal_admit"),
+            F.lit(0).cast("long").alias("parent_priority"),
+            (F.monotonically_increasing_id() % (2**31 - 1)).cast("int").alias("seq"),
+        )
+        for f in ADMIT_SCHEMA.fields:
+            items = items.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        self._init_filters()
+        frontier, report, seen, counts = self.admit(items, wave=0)
+        self._ingest_filters(seen, None)
+        self.counter += sum(counts.values())
+        self._commit_wave(-1, frontier, report, seen, None, 0, counts)
+        return sum(counts.values())
+
     # ------------------------------------------------------------- wave body
     def run(self, resume: bool = False) -> CrawlOutcome:
         cfg, wh, spark = self.cfg, self.wh, self.spark
