@@ -272,6 +272,31 @@ def host_col(canonical: Column) -> Column:
     return F.regexp_extract(canonical, _ABS_RE[1:] + r"(?:[^/?#@]*@)?([^/?#]*)", 1)
 
 
+def localize_url_col(url: Column, remote_host: str, start_host: str, start_port: str = "") -> Column:
+    """URI localization (ResourceScope.cs:29-36): rewrite URLs whose
+    authority equals ``remote_host`` (case-insensitive) to the start URI's
+    host[:port]; pass every other URL through unchanged."""
+    auth = F.regexp_extract(url, _ABS_RE[1:] + r"(?:[^/?#@]*@)?([^/?#]*)", 1)
+    target = start_host + ((":" + start_port) if start_port else "")
+    rewritten = F.concat(
+        F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?)", 1),
+        F.lit(target),
+        F.regexp_replace(url, _ABS_RE[1:] + r"(?:[^/?#@]*@)?[^/?#]*", ""),
+    )
+    return F.when(F.lower(auth) == remote_host.lower(), rewritten).otherwise(url)
+
+
+def localize_url_py(url: str, remote_host: str, start_host: str, start_port: str = "") -> str:
+    """Python twin of localize_url_col."""
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?)([^/?#]*)(.*)$", url or "")
+    if not m:
+        return url
+    if m.group(2).lower() != remote_host.lower():
+        return url
+    target = start_host + ((":" + start_port) if start_port else "")
+    return m.group(1) + target + m.group(3)
+
+
 def with_url_columns(df, url_col_name: str = "url", sort_query: bool = True):
     """Standard frontier enrichment: canonical_url, url_hash, host, url_status."""
     c = F.col(url_col_name)

@@ -68,6 +68,10 @@ def prepare_pages_store(pages: DataFrame) -> DataFrame:
         F.col("p_next").alias("c_next"),
     )
     for _hop in range(MAX_REDIRECT_HOPS):
+        # localCheckpoint per hop: the pending set shrinks geometrically but
+        # its lineage would otherwise GROW per hop — each isEmpty() would
+        # recompute every previous hop's join (O(hops²) work).
+        pending = pending.localCheckpoint()
         if pending.isEmpty():
             break
         j = pending.withColumn("__cur_hash", url_hash_col(F.col("cur_url"))).join(

@@ -105,7 +105,11 @@ class CrawlEngine:
         self.wh = SnapshotWarehouse(spark, warehouse_dir)
         # localCheckpoint (eager) truncates the logical plan, not just the
         # physical cache — without it Catalyst re-analyzes the 10-hop
-        # redirect-resolution union chain on EVERY wave action.
+        # redirect-resolution union chain on EVERY wave action. Materialize
+        # the pages input ONCE first: pages_store and pages_html both derive
+        # from it, and a generated `pages` (gen_pages_spark) would otherwise
+        # be recomputed per derivation.
+        pages = pages.localCheckpoint()
         self.pages_store = prepare_pages_store(pages).localCheckpoint()
         self.pages_html = pages.filter(F.col("html") != "").select(
             canonical_url_col(F.col("url")).alias("final_url"), "html"

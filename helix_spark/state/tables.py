@@ -155,7 +155,12 @@ class SnapshotWarehouse:
         else:
             merged = bucketed
         d = self._new_data_dir(name)
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(d)
+        # repartition by bucket before the partitioned write: otherwise every
+        # shuffle partition writes a sliver into every bucket dir —
+        # num_buckets × shuffle_partitions tiny files per merge
+        merged.repartition(min(num_buckets, 32), F.col(BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(d)
         for b in affected:
             sub = os.path.join(d, f"{BUCKET_COL}={b}")
             buckets[str(b)] = [sub] if os.path.exists(sub) else []
