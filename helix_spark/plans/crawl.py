@@ -285,6 +285,35 @@ class CrawlEngine:
         )
         return frontier_rows, report_rows, seen_rows, counts
 
+    # -------------------------------------------------------------- readers
+    def read_seen(self) -> DataFrame | None:
+        """Seen map with LSM last-write-wins resolution: latest wave per key;
+        within a wave, a settled status beats the queued-null row."""
+        raw = self.wh.read("seen")
+        if raw is None:
+            return None
+        w = Window.partitionBy("key_hash").orderBy(
+            F.col("wave").desc(),
+            F.when(F.col("status_code").isNull(), 1).otherwise(0),
+        )
+        return (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def read_report(self) -> DataFrame | None:
+        """Verification report, one row per verified_url (latest wave wins)."""
+        raw = self.wh.read("report")
+        if raw is None:
+            return None
+        w = Window.partitionBy("verified_url").orderBy(F.col("wave").desc())
+        return (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "wave")
+        )
+
     # ----------------------------------------------------------- bootstrap
     def bootstrap_frontier(self, urls: DataFrame) -> int:
         """Pre-populate the frontier from a DataFrame of absolute URLs
@@ -529,12 +558,18 @@ class CrawlEngine:
         wh, cfg = self.wh, self.cfg
         manifests = dict(extra_manifests or {})
         manifests["frontier"] = wh.overwrite("frontier", frontier.select(FRONTIER_COLS))
-        dedup_report = report.dropDuplicates(["verified_url"])
-        manifests["report"] = wh.merge_upsert(
+        # seen/report are LSM append-only (O(new rows) per wave, bucket-pruned
+        # reads): hash-uniform updates would touch every bucket of a
+        # copy-on-write merge, degenerating to an O(table) rewrite per wave.
+        # Readers resolve last-write-wins by wave (read_seen / read_report).
+        dedup_report = report.dropDuplicates(["verified_url"]).withColumn(
+            "wave", F.lit(wave)
+        )
+        manifests["report"] = wh.append_bucketed(
             "report", dedup_report, key="verified_url", num_buckets=cfg.report_buckets
         )
         dedup_seen = seen.dropDuplicates(["key_hash"])
-        manifests["seen"] = wh.merge_upsert(
+        manifests["seen"] = wh.append_bucketed(
             "seen", dedup_seen, key="key", num_buckets=cfg.seen_buckets
         )
         if host_state is not None:

@@ -166,6 +166,29 @@ class SnapshotWarehouse:
             buckets[str(b)] = [sub] if os.path.exists(sub) else []
         return self._save_manifest(name, {"key": key, "num_buckets": num_buckets, "buckets": buckets})
 
+    def append_bucketed(self, name: str, df: DataFrame, key: str, num_buckets: int = 64) -> str:
+        """LSM-style bucketed append: write the new rows partitioned by
+        key-hash bucket and LINK the new leaf dirs into each bucket's file
+        list — O(new data) per call, no rewrite of existing data. Readers
+        keep bucket pruning; last-write-wins resolution (by a version column)
+        is the reader's job; periodic compaction can rewrite hot buckets."""
+        m = self._load_manifest(name) or {"key": key, "num_buckets": num_buckets, "buckets": {}}
+        if m["num_buckets"] != num_buckets or m["key"] != key:
+            raise ValueError(f"table {name}: bucket spec mismatch")
+        bucketed = df.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+        )
+        d = self._new_data_dir(name)
+        bucketed.repartition(min(num_buckets, 32), F.col(BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(d)
+        buckets: dict[str, list[str]] = {str(k): list(v) for k, v in m.get("buckets", {}).items()}
+        for b in range(num_buckets):
+            sub = os.path.join(d, f"{BUCKET_COL}={b}")
+            if os.path.exists(sub):
+                buckets.setdefault(str(b), []).append(sub)
+        return self._save_manifest(name, {"key": key, "num_buckets": num_buckets, "buckets": buckets})
+
     # --------------------------------------------------------------- readers
     def exists(self, name: str) -> bool:
         return self._load_manifest(name) is not None

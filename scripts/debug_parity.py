@@ -34,7 +34,7 @@ if eng_order != oracle.crawl_order:
         if a != b:
             print("  first diff at", i, "engine:", a, "oracle:", b)
             break
-seen = {r["key"]: r["status_code"] for r in eng.wh.read("seen").collect()}
+seen = {r["key"]: r["status_code"] for r in eng.read_seen().collect()}
 print("seen match:", seen == oracle.seen, len(seen), len(oracle.seen))
 if seen != oracle.seen:
     n = 0
@@ -45,7 +45,7 @@ if seen != oracle.seen:
             if n > 8:
                 break
 rep = {r["verified_url"]: (r["parent_url"], r["is_internal"], r["resource_type"], r["status_code"])
-       for r in eng.wh.read("report").collect()}
+       for r in eng.read_report().collect()}
 orep = {k: (v["parent_url"], v["is_internal"], v["resource_type"], v["status_code"])
         for k, v in oracle.report.items()}
 print("report match:", rep == orep, len(rep), len(orep))

@@ -39,12 +39,12 @@ def _run_both(spark, tmp_path, cfg, N=60, H=6):
 
 
 def _engine_seen(engine) -> dict:
-    df = engine.wh.read("seen")
+    df = engine.read_seen()
     return {r["key"]: r["status_code"] for r in df.collect()}
 
 
 def _engine_report(engine) -> dict:
-    df = engine.wh.read("report")
+    df = engine.read_report()
     return {
         r["verified_url"]: {
             "verified_url": r["verified_url"],
@@ -121,7 +121,7 @@ def test_crawl_order_parity(parity):
 
 def test_broken_set_derivation(parity):
     oracle, engine, _ = parity
-    df = engine.wh.read("report")
+    df = engine.read_report()
     broken = {
         r["verified_url"]
         for r in df.filter(F.abs(F.col("status_code")) >= 400).collect()
