@@ -574,6 +574,113 @@ SELECT label, COUNT(*) AS n, SUM(norm2_milli) AS sum_norm2_milli FROM n GROUP BY
 """
 
 
+def q_simhash(spark, sf):
+    from helix_spark.operators.textdedup import simhash64
+
+    docs = _t(spark, sf, "documents")
+    return simhash64(docs, bits=16)
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter(ints, x -> (x >> {i}) % 2 = 1)) > len(ints)"
+            f" THEN {2**i} ELSE 0 END"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+), i AS (
+  SELECT doc_id, list_transform(t, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS ints
+  FROM toks
+)
+SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash FROM i
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    from helix_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, k=8, bands=4)
+
+
+def _sql_lsh_pairs(k: int = 8, bands: int = 4) -> str:
+    from helix_spark.operators.textdedup import MINHASH_PERMS, MINHASH_PRIME
+
+    comps = []
+    for i in range(k):
+        a, b = MINHASH_PERMS[i]
+        comps.append(
+            f"list_min(list_transform(shingle_ints,"
+            f" x -> ((x % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME})) AS mh{i}"
+        )
+    rows_per_band = k // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
+        concat = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band,"
+            f" ('0x' || substr(md5({concat}), 1, 15))::BIGINT AS bucket FROM sig"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> array_to_string(t[i:i+2], ' ')) AS shingles
+  FROM toks
+), ints AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS shingle_ints
+  FROM sh
+), sig AS (
+  SELECT doc_id, {', '.join(comps)} FROM ints
+), exploded AS (
+  {' UNION ALL '.join(band_rows)}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM exploded a JOIN exploded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_lsh_ann_topk(spark, sf):
+    """Approximate NN via hyperplane-LSH bucket scan — rows-only check (the
+    approximation has no SQL-exact twin; recall is validated in tests)."""
+    from helix_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return lsh_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=3)
+
+
+def q_image_decode_stats(spark, sf):
+    """Multimodal plumbing on generated payloads (testdata has no images
+    table): decode 48 deterministic images, recompute phash — rows-only."""
+    from helix_spark.operators.multimodal import decode_stats
+    from helix_spark.sources.synthetic import gen_images_spark
+
+    return decode_stats(gen_images_spark(spark, 48))
+
+
+def q_payload_verify(spark, sf):
+    """input_hint payload invariant demo (PNG byte-exact / lossy PSNR≥40 /
+    caption equality) on generated payloads — rows-only."""
+    from helix_spark.operators.multimodal import verify_payloads
+    from helix_spark.sources.synthetic import gen_images_spark
+
+    imgs = gen_images_spark(spark, 32).localCheckpoint()
+    return verify_payloads(imgs, imgs)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -601,6 +708,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_topk": q_embedding_topk,
     "embedding_label_stats": q_embedding_label_centroid_dist,
+    "simhash": q_simhash,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "image_decode_stats": q_image_decode_stats,
+    "payload_verify": q_payload_verify,
 }
 
 ORACLE: dict[str, str] = {
@@ -628,4 +740,8 @@ ORACLE: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_label_stats": SQL_EMB_LABEL_STATS,
+    "simhash": _sql_simhash(),
+    "minhash_lsh_pairs": _sql_lsh_pairs(),
+    # lsh_ann_topk / image_decode_stats / payload_verify: rows-only
+    # (approximate ANN and binary decode have no SQL-exact twin)
 }

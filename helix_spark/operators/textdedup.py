@@ -74,7 +74,8 @@ def minhash_lsh_pairs(
     buckets = []
     for b in range(bands):
         comps = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        bucket = F.xxhash64(*comps)
+        # md5-int bucket (not xxhash64) so a plain-SQL oracle can reproduce it
+        bucket = md5_int60_col(F.concat_ws("|", *[c.cast("string") for c in comps]))
         buckets.append(
             sig.select(F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket"))
         )
@@ -128,19 +129,21 @@ def ngram_jaccard_pairs(
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               bits: int = 16) -> DataFrame:
-    """SimHash: per token, md5-derived bits vote ±1; sign per bit position.
-    ``bits`` kept small so the SQL oracle (nested per-bit sums) stays sane."""
+    """SimHash: per token, md5-derived bits vote ±1; bit i of the output is
+    set iff more than half the tokens have bit i set (2·ones > n). Pure bit
+    ops (shiftright / %) so a plain-SQL oracle reproduces it exactly.
+    ``bits`` kept small so the oracle stays readable."""
     from helix_spark.functions.text import tokens_col
 
     toks = tokens_col(F.col(text_col))
     ints = F.transform(toks, lambda t: md5_int60_col(t))
-    def _voter(i):
-        return lambda acc, x: acc + F.when(
-            ((x / F.lit(2**i)).cast("long") % 2) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    n = F.size(ints)
+
+    def _one_bit(i):
+        return lambda x: (F.shiftright(x, i) % 2) == 1
 
     val = F.lit(0).cast("long")
     for i in range(bits):
-        vote = F.aggregate(ints, F.lit(0).cast("long"), _voter(i))
-        val = val + F.when(vote > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
+        ones = F.size(F.filter(ints, _one_bit(i)))
+        val = val + F.when(ones * 2 > n, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
     return docs.select(F.col(id_col), val.alias("simhash"))

@@ -1,0 +1,89 @@
+"""Structured Streaming surface.
+
+The reference is a feedback-loop batch system — its cyclic dataflow cannot
+be a streaming DAG (SURVEY.md §3.4), so the crawl runs as an iterative batch
+wave loop. Streaming still matters to the engine in two places:
+
+1. continuous ingestion of *new seed/frontier feeds* (a crawl discovers its
+   input over time) — modeled here as a parquet-directory stream of events;
+2. live metrics: the per-wave `metrics`/`crawl_log` tables are append-only
+   and stream naturally to a monitoring sink.
+
+All transformations below are plain DataFrame ops, so each works identically
+on a batch frame (tests exploit this: availableNow stream == batch result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window event counts with late-data watermarking."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming first-wins dedup on event_id — the seen-set TryAdd analog
+    for a continuous feed (state bounded by the watermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user with the built-in session_window function."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> DataFrame:
+    """Drain the stream with trigger(availableNow) into a memory sink and
+    return the result as a DataFrame (test/inspection helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan
