@@ -63,15 +63,16 @@ def select_batch(
     else:
         eligible, blocked = frontier, frontier.limit(0)
 
-    salt = F.pmod(F.col("url_hash"), F.lit(salt_partitions))
-    w1 = Window.partitionBy(F.col("host"), salt).orderBy("priority")
-    w2 = Window.partitionBy("host").orderBy("priority")
+    # Spark's WindowGroupLimit rule already runs a PARTIAL top-k per input
+    # partition before the shuffle (visible as `WindowGroupLimit ... Partial`
+    # in the physical plan), which is exactly the salt-phase a hand-rolled
+    # two-phase window would add — but without the second shuffle. A hot
+    # host therefore ships at most per_host_budget rows per map partition.
+    w = Window.partitionBy("host").orderBy("priority")
     batch = (
-        eligible.withColumn("__salt_rank", F.row_number().over(w1))
-        .filter(F.col("__salt_rank") <= per_host_budget)
-        .withColumn("__r2", F.row_number().over(w2))
-        .filter(F.col("__r2") <= per_host_budget)
-        .drop("__salt_rank", "__r2")
+        eligible.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= per_host_budget)
+        .drop("__rank")
     )
     remainder = eligible.join(batch.select("url_hash"), on="url_hash", how="left_anti").unionByName(
         blocked
