@@ -473,14 +473,14 @@ class CrawlEngine:
         sandbox the cuckoo maintenance collects hashes (small waves); at real
         scale it would be partition-sharded like the bloom."""
         self.bloom.build_update(admit_seen.select("key_hash"), hash_col="key_hash")
+        # Arrow toPandas (not collect) — Row materialization of millions of
+        # hashes was a serial driver hotspot that flattened scaling
         queued = admit_seen.filter(F.col("status_code").isNull())
-        q = np.array([r[0] for r in queued.select("key_hash").collect()], dtype=np.int64)
+        q = queued.select("key_hash").toPandas()["key_hash"].to_numpy(dtype=np.int64)
         if len(q):
             self.cuckoo.insert_hashes(q)
         if seen_updates is not None:
-            d = np.array(
-                [r[0] for r in seen_updates.select("key_hash").collect()], dtype=np.int64
-            )
+            d = seen_updates.select("key_hash").toPandas()["key_hash"].to_numpy(dtype=np.int64)
             if len(d):
                 self.cuckoo.delete_hashes(d)
 
@@ -574,6 +574,20 @@ class CrawlEngine:
         )
         if host_state is not None:
             manifests["host_state"] = wh.overwrite("host_state", host_state)
+        # per-wave counters (Statistics.cs:6-84 / EventBroadcaster analog):
+        # one metrics row per wave, derived from this wave's report rows
+        wave_metrics = dedup_report.agg(
+            F.lit(wave).alias("wave"),
+            F.count("*").alias("report_rows"),
+            F.coalesce(
+                F.sum((F.abs(F.col("status_code")) >= 400).cast("int")), F.lit(0)
+            ).alias("broken_new"),
+            F.coalesce(
+                F.sum((F.abs(F.col("status_code")) < 400).cast("int")), F.lit(0)
+            ).alias("valid_new"),
+            F.lit(batch_count).alias("batch"),
+        )
+        manifests["metrics"] = wh.append("metrics", wave_metrics)
         manifests.update(self._save_filters(wave))
         wh.commit(
             wave,

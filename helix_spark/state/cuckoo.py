@@ -55,16 +55,47 @@ class CuckooFilter:
         return ((i1.astype(np.uint64) ^ fph) % np.uint64(self.num_buckets)).astype(np.int64)
 
     # --------------------------------------------------------------- inserts
+    def _compact(self) -> None:
+        """Pack nonzero fingerprints to the left of each bucket (slot order
+        carries no meaning) so vectorized placement can use fill counts."""
+        self.table = np.ascontiguousarray(np.sort(self.table, axis=1)[:, ::-1])
+
     def insert_hashes(self, hashes: np.ndarray) -> int:
-        """Insert a batch; returns number that failed (filter near-full).
-        Failures are safe: the filter is a prefilter — a missed insert only
-        costs an exact-join probe later."""
+        """Bulk-vectorized insert; returns number that failed (filter
+        near-full). Failures are safe: the filter is a prefilter — a missed
+        insert only costs an exact-join probe later.
+
+        Vectorization: per round, items are grouped by target bucket; each
+        item's slot = bucket fill + its stable rank within the batch group.
+        Items that overflow a bucket retry their alternate bucket next
+        round; the final stragglers go through the per-item cuckoo-kick
+        path (a tiny minority)."""
         h = hashes.astype(np.uint64)
-        fp = _fingerprint(h)
-        i1 = self._i1(h)
+        fp_all = _fingerprint(h)
+        i1_all = self._i1(h)
+        i2_all = self._i2(i1_all, fp_all)
+        pending_fp, pending_idx, pending_alt = fp_all, i1_all, i2_all
+        for _round in range(4):
+            if len(pending_fp) == 0:
+                break
+            self._compact()
+            fill = (self.table != 0).sum(axis=1)
+            order = np.argsort(pending_idx, kind="stable")
+            sidx = pending_idx[order]
+            sfp = pending_fp[order]
+            salt = pending_alt[order]
+            group_start = np.searchsorted(sidx, sidx, side="left")
+            rank = np.arange(len(sidx)) - group_start
+            slot = fill[sidx] + rank
+            ok = slot < SLOTS
+            self.table[sidx[ok], slot[ok]] = sfp[ok]
+            # overflowed items retry at their alternate bucket
+            pending_fp = sfp[~ok]
+            pending_idx = salt[~ok]
+            pending_alt = sidx[~ok]
         failed = 0
-        for j in range(len(h)):
-            if not self._insert_one(int(i1[j]), int(fp[j])):
+        for j in range(len(pending_fp)):
+            if not self._insert_one(int(pending_idx[j]), int(pending_fp[j])):
                 failed += 1
         return failed
 
@@ -100,20 +131,25 @@ class CuckooFilter:
 
     # --------------------------------------------------------------- deletes
     def delete_hashes(self, hashes: np.ndarray) -> int:
-        """Delete one matching fingerprint per hash; returns count deleted."""
+        """Bulk-vectorized delete of one matching fingerprint per hash;
+        returns count deleted. Two batch items sharing (bucket, fingerprint)
+        may clear the same slot once — acceptable for a prefilter (shifts
+        the false-positive rate, never correctness: the exact anti-join is
+        the source of truth)."""
         h = hashes.astype(np.uint64)
         fp = _fingerprint(h)
-        i1 = self._i1(h)
-        i2 = self._i2(i1, fp)
         deleted = 0
-        for j in range(len(h)):
-            for idx in (int(i1[j]), int(i2[j])):
-                row = self.table[idx]
-                hits = np.nonzero(row == fp[j])[0]
-                if len(hits):
-                    row[hits[0]] = 0
-                    deleted += 1
-                    break
+        idx = self._i1(h)
+        for _pass in (0, 1):
+            rows = self.table[idx]
+            hit = rows == fp[:, None]
+            any_hit = hit.any(axis=1)
+            first = np.argmax(hit, axis=1)
+            self.table[idx[any_hit], first[any_hit]] = 0
+            deleted += int(any_hit.sum())
+            if _pass == 0:
+                miss = ~any_hit
+                idx, fp = self._i2(idx, fp)[miss], fp[miss]
         return deleted
 
     # ----------------------------------------------------------------- serde
