@@ -370,6 +370,13 @@ class CrawlEngine:
         wave = start_wave
         while wave < cfg.max_waves:
             t_wave = time.time()
+            phase_t: dict[str, float] = {}
+
+            def _mark(name: str, _last=[time.time()]):
+                now = time.time()
+                phase_t[name] = round(now - _last[0], 1)
+                _last[0] = now
+
             frontier = wh.read("frontier")
             if frontier is None or frontier.isEmpty():
                 break
@@ -378,6 +385,7 @@ class CrawlEngine:
                 frontier, host_state, wave, cfg.per_host_budget, cfg.salt_partitions
             )
             batch = batch.localCheckpoint()  # truncate window+read lineage
+            _mark("select")
             verified = verify_batch(batch, self.pages_store)
 
             final_host = F.regexp_extract(F.col("final_url"), _HOST_RE, 1)
@@ -393,6 +401,7 @@ class CrawlEngine:
                     self._scope_expr(F.col("final_url"), final_host, F.col("parent_host")),
                 ).otherwise(F.col("is_internal")),
             ).localCheckpoint()
+            _mark("verify")
 
             stats = verified.agg(
                 F.count("*").alias("n"),
@@ -443,7 +452,9 @@ class CrawlEngine:
             )
             admissions = self._collect_admissions(renderable, redirected)
             new_frontier, admit_report, admit_seen, counts = self.admit(admissions, wave + 1)
+            _mark("admit")
             self._ingest_filters(admit_seen, seen_updates)
+            _mark("filters")
             self.counter += sum(counts.values())
 
             all_report = report_rows.unionByName(admit_report)
@@ -457,10 +468,12 @@ class CrawlEngine:
                 wave, next_frontier, all_report, all_seen, hs, batch_count, counts,
                 extra_manifests={"crawl_log": mlog},
             )
+            _mark("commit")
             if self.verbose:
                 print(
                     f"[helix-spark] wave {wave}: batch={batch_count} "
-                    f"admitted={sum(counts.values())} {time.time() - t_wave:.1f}s",
+                    f"admitted={sum(counts.values())} {time.time() - t_wave:.1f}s "
+                    f"phases={phase_t}",
                     flush=True,
                 )
             wave += 1

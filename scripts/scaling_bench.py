@@ -26,6 +26,7 @@ from helix_spark.sources.synthetic import gen_pages_spark  # noqa: E402
 
 PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 WAVES = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+N_CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 H = 256
 
 
@@ -75,10 +76,10 @@ def run_config(cpus: int) -> dict:
 
 
 def main():
-    results = [run_config(8), run_config(32)]
-    r8, r32 = results
-    eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / (32 / 8)
-    out = {"pages": PAGES, "waves": WAVES, "local8": r8, "local32": r32,
+    rN, r4N = run_config(N_CPUS), run_config(4 * N_CPUS)
+    eff = (r4N["urls_per_sec"] / rN["urls_per_sec"]) / 4.0
+    out = {"pages": PAGES, "waves": WAVES,
+           f"local{N_CPUS}": rN, f"local{4 * N_CPUS}": r4N,
            "scaling_efficiency": round(eff, 3)}
     print(json.dumps(out, indent=1))
 
