@@ -2,23 +2,22 @@
 IncrementalIdGenerator (/root/reference/Bot/Business/IncrementalIdGenerator.cs:17).
 
 ``monotonically_increasing_id`` is not deterministic across runs and a global
-``row_number() OVER (ORDER BY ...)`` funnels everything through ONE task. This
-primitive gets a total order without the single-task bottleneck:
+``row_number() OVER (ORDER BY ...)`` funnels everything through ONE task.
+This primitive stays entirely JVM-side (an earlier mapInPandas version moved
+every row through Python/Arrow — it flattened N→4N scaling):
 
-1. range-repartition by the order columns (distributed sort)
-2. sort within partitions
-3. count rows per partition (small collect: P longs)
-4. mapInPandas adds rank = partition_offset + local position
+1. range-repartition by the order columns (distributed, deterministic)
+2. count rows per range partition (small collect: P longs)
+3. rank = row_number() windowed WITHIN each range partition + that
+   partition's cumulative offset (a when-chain over ≤P literals)
 
-Two jobs over the batch (cached in between), all heavy work distributed.
+Two distributed passes, no Python in the data path.
 """
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 
 def with_global_rank(
@@ -35,33 +34,30 @@ def with_global_rank(
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    parted = parted.persist()
-    counts = {r["__pid"]: r["cnt"] for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
     acc = offset
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    bc = spark.sparkContext.broadcast(offsets)
-    in_cols = [c for c in parted.columns if c != "__pid"]
-
-    def add_rank(batches):
-        pos = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if pos is None:
-                pos = bc.value[int(pdf["__pid"].iloc[0])]
-            pdf = pdf.copy()
-            pdf[rank_col] = range(pos, pos + len(pdf))
-            pos += len(pdf)
-            yield pdf.drop(columns=["__pid"])
-
-    schema = StructType(
-        [f for f in parted.schema.fields if f.name != "__pid"] + [StructField(rank_col, LongType())]
-    )
-    out = parted.mapInPandas(add_rank, schema)
+    if offsets:
+        off_expr = None
+        for pid, off in offsets.items():
+            cond = F.col("__pid") == pid
+            off_expr = (
+                F.when(cond, F.lit(off)) if off_expr is None else off_expr.when(cond, F.lit(off))
+            )
+        off_expr = off_expr.otherwise(F.lit(offset))
+    else:
+        off_expr = F.lit(offset)
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    out = parted.withColumn(
+        rank_col, (F.row_number().over(w) - 1 + off_expr).cast("long")
+    ).drop("__pid")
     return out, counts

@@ -240,13 +240,23 @@ class CrawlEngine:
         # truncates its plan — every downstream action (bucket collect,
         # anti-join, rank, three writes) reuses it instead of re-running and
         # re-analyzing the extract UDF + join + canonicalization tree
+        t0 = time.time()
         enriched = enriched.localCheckpoint()
+        t1 = time.time()
         deduped = first_wins_in_batch(enriched, "key_hash", ["parent_priority", "seq"])
         fresh = anti_join_seen(deduped, self.wh, self.bloom, key="key_hash")
+        t2 = time.time()
         fresh, counts = with_global_rank(
             fresh, ["parent_priority", "seq"], rank_col="priority", offset=self.counter
         )
         fresh = fresh.localCheckpoint()
+        t3 = time.time()
+        if self.verbose:
+            print(
+                f"[helix-spark]   admit: enrich={t1 - t0:.1f}s dedup+anti={t2 - t1:.1f}s "
+                f"rank+ckpt={t3 - t2:.1f}s",
+                flush=True,
+            )
 
         bad = fresh.filter(F.col("category") == "bad")
         blocked = fresh.filter(F.col("category") == "blocked")
