@@ -82,7 +82,7 @@ ADMIT_SCHEMA = StructType(
 )
 
 FRONTIER_COLS = [
-    "url", "url_hash", "host", "raw", "parent_url", "parent_host",
+    "url", "url_hash", "host", "parent_url", "parent_host",
     "is_extracted", "status_pre", "ctype_pre", "size_pre", "is_internal",
     "priority", "wave_admitted",
 ]
@@ -235,6 +235,14 @@ class CrawlEngine:
             "key",
             F.when(is_bad, F.col("raw")).otherwise(F.col("canonical_url")),
         ).withColumn("key_hash", F.xxhash64(F.col("key")))
+        # slim before materialization: raw/resolved are folded into `key`;
+        # every byte dropped here is saved in the dedup shuffle, the rank
+        # shuffle, two checkpoints, and three table writes
+        enriched = enriched.select(
+            "key", "key_hash", "category", "url_status", "canonical_url",
+            "host", "parent_url", "parent_host", "is_extracted", "status_pre",
+            "ctype_pre", "size_pre", "is_internal", "parent_priority", "seq",
+        )
 
         # localCheckpoint materializes the (small) admission batch once and
         # truncates its plan — every downstream action (bucket collect,
@@ -289,7 +297,7 @@ class CrawlEngine:
         frontier_rows = ok.select(
             F.col("canonical_url").alias("url"),
             F.col("key_hash").alias("url_hash"),
-            "host", "raw", "parent_url", "parent_host", "is_extracted",
+            "host", "parent_url", "parent_host", "is_extracted",
             "status_pre", "ctype_pre", "size_pre", "is_internal", "priority",
             F.lit(wave).alias("wave_admitted"),
         )
