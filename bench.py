@@ -41,7 +41,7 @@ HEADLINE = [
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "200000"))
-CRAWL_WAVES = int(os.environ.get("SPARK_GRAFT_CRAWL_WAVES", "6"))
+CRAWL_WAVES = int(os.environ.get("SPARK_GRAFT_CRAWL_WAVES", "3"))
 
 
 def bench_queries(spark) -> dict[str, float]:
@@ -110,7 +110,7 @@ def main():
         "metric": "frontier_urls_per_sec",
         "value": round(urls_per_sec, 1),
         "unit": "urls/sec",
-        "queries": {**qtimes, "crawl_6waves": round(crawl_sec, 3)},
+        "queries": {**qtimes, "crawl_waves": round(crawl_sec, 3)},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl_pages": CRAWL_PAGES,
         "crawl_urls_fetched": fetched,

@@ -28,13 +28,17 @@ from helix_spark.state.tables import SnapshotWarehouse
 
 def first_wins_in_batch(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
     """Keep the first row per key in admission order (TryAdd semantics
-    within one wave)."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    within one wave).
+
+    Implemented as groupBy + min_by(struct(all), struct(order)) instead of a
+    row_number window: the aggregate gets a MAP-SIDE partial combine, so the
+    shuffle carries ~one row per (partition, key) instead of every row —
+    the window variant shuffles the full batch."""
+    cols = df.columns
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    row_struct = F.struct(*[F.col(c) for c in cols])
+    agg = df.groupBy(key).agg(F.min_by(row_struct, ord_struct).alias("__row"))
+    return agg.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
 def anti_join_seen(
@@ -44,9 +48,16 @@ def anti_join_seen(
     seen_table: str = "seen",
     key: str = "url_hash",
     seen_key: str = "key_hash",
+    prune_buckets: bool = False,
 ) -> DataFrame:
     """candidates → subset whose ``key`` hash is NOT in the seen table
-    (seen table column: ``seen_key``)."""
+    (seen table column: ``seen_key``).
+
+    ``prune_buckets`` computes the candidates' bucket set and reads only
+    those buckets — worth it for SMALL candidate sets (resume requeues,
+    targeted backfills). The crawl hot path leaves it off: uniformly-hashed
+    admission batches touch every bucket, so the distinct+collect would be
+    a wasted full pass over the candidates."""
     if not warehouse.exists(seen_table):
         return candidates
     if bloom is not None:
@@ -59,7 +70,7 @@ def anti_join_seen(
 
     nb = warehouse.num_buckets(seen_table)
     buckets = None
-    if nb:
+    if nb and prune_buckets:
         buckets = [
             r["b"]
             for r in maybe.select(F.pmod(F.col(key), F.lit(nb)).cast("int").alias("b"))
