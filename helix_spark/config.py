@@ -28,3 +28,7 @@ class CrawlConfig:
     bloom_slices: int = 16
     seen_buckets: int = 32
     report_buckets: int = 32
+    # LSM compaction cadence: rewrite buckets with > max_files leaf dirs
+    # every N waves (bounds read amplification on long crawls)
+    compact_every: int = 16
+    compact_max_files: int = 8

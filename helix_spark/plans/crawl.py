@@ -487,6 +487,23 @@ class CrawlEngine:
                 extra_manifests={"crawl_log": mlog},
             )
             _mark("commit")
+            if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
+                # periodic LSM compaction; its own atomic commit
+                cm = {}
+                m1 = wh.compact_bucketed(
+                    "seen", version_col="wave", prefer_nonnull="status_code",
+                    max_files_per_bucket=cfg.compact_max_files,
+                )
+                if m1:
+                    cm["seen"] = m1
+                m2 = wh.compact_bucketed(
+                    "report", version_col="wave",
+                    max_files_per_bucket=cfg.compact_max_files,
+                )
+                if m2:
+                    cm["report"] = m2
+                if cm:
+                    wh.commit(wave, cm, metrics={"counter": self.counter, "compaction": True})
             if self.verbose:
                 print(
                     f"[helix-spark] wave {wave}: batch={batch_count} "

@@ -189,6 +189,50 @@ class SnapshotWarehouse:
                 buckets.setdefault(str(b), []).append(sub)
         return self._save_manifest(name, {"key": key, "num_buckets": num_buckets, "buckets": buckets})
 
+    def compact_bucketed(
+        self, name: str, version_col: str | None = None,
+        prefer_nonnull: str | None = None, max_files_per_bucket: int = 8,
+    ) -> str | None:
+        """LSM compaction: rewrite buckets whose leaf-dir count exceeds
+        ``max_files_per_bucket``, resolving last-write-wins by ``version_col``
+        (ties: non-null ``prefer_nonnull`` wins). Bounded read amplification
+        for long crawls; untouched buckets keep their files. Returns the new
+        manifest name, or None if nothing needed compaction."""
+        m = self._load_manifest(name)
+        if m is None or not m.get("num_buckets"):
+            return None
+        buckets: dict[str, list[str]] = {str(k): list(v) for k, v in m.get("buckets", {}).items()}
+        hot = [b for b, paths in buckets.items() if len(paths) > max_files_per_bucket]
+        if not hot:
+            return None
+        paths = [p for b in hot for p in buckets[b] if os.path.exists(p)]
+        df = self.spark.read.parquet(*paths)
+        key = m["key"]
+        if version_col is not None:
+            from pyspark.sql import Window
+
+            order = [F.col(version_col).desc()]
+            if prefer_nonnull is not None:
+                order.append(F.when(F.col(prefer_nonnull).isNull(), 1).otherwise(0))
+            w = Window.partitionBy(key).orderBy(*order)
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        nb = m["num_buckets"]
+        bucketed = df.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int")
+        )
+        d = self._new_data_dir(name)
+        bucketed.repartition(min(nb, 32), F.col(BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(d)
+        for b in hot:
+            sub = os.path.join(d, f"{BUCKET_COL}={b}")
+            buckets[b] = [sub] if os.path.exists(sub) else []
+        return self._save_manifest(name, {"key": key, "num_buckets": nb, "buckets": buckets})
+
     # --------------------------------------------------------------- readers
     def exists(self, name: str) -> bool:
         return self._load_manifest(name) is not None

@@ -72,3 +72,29 @@ def test_metrics_table(spark, tmp_path):
     # per-wave new-broken counters sum to the final broken set (no updates
     # flipped statuses in this universe)
     assert sum(m["broken_new"] for m in metrics) == total_broken
+
+
+def test_compaction_preserves_parity(spark, tmp_path):
+    """LSM compaction mid-crawl must not change the resolved seen/report."""
+    N, H = 45, 5
+    pages_pd = synthetic.gen_pages_py(N, H)
+    assets_pd = synthetic.gen_assets_py(N, H, 16)
+    robots_pd = synthetic.gen_robots_py(H)
+    cfg = CrawlConfig(
+        seeds=["http://host0.test/p/0"], per_host_budget=3, max_waves=30,
+        expected_urls=5000, bloom_slices=4, seen_buckets=4, report_buckets=4,
+        compact_every=4, compact_max_files=1,  # force compaction aggressively
+    )
+    oracle = SerialOracle(cfg, pages_pd, assets_pd, robots_pd).run()
+    eng = CrawlEngine(
+        spark, cfg, str(tmp_path / "cp"),
+        spark.createDataFrame(pages_pd),
+        spark.createDataFrame(assets_pd),
+        spark.createDataFrame(robots_pd),
+    )
+    eng.run()
+    got_seen = {r["key"]: r["status_code"] for r in eng.read_seen().collect()}
+    assert got_seen == oracle.seen
+    got = {r["verified_url"]: r["status_code"] for r in eng.read_report().collect()}
+    want = {k: v["status_code"] for k, v in oracle.report.items()}
+    assert got == want

@@ -93,3 +93,29 @@ def test_warehouse_commit_atomic_head(spark, tmp_path):
     assert n == 1
     head = wh.head_commit()
     assert head["metrics"]["rows"] == 1 and head["tables"]["x"] == m
+
+
+def test_append_bucketed_and_compaction(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    wh = SnapshotWarehouse(spark, str(tmp_path / "lsm"))
+    # 12 appends with overlapping keys and rising versions
+    for v in range(12):
+        df = spark.createDataFrame(
+            [(f"k{i}", v, f"val{v}" if v % 2 else None) for i in range(20)],
+            "key string, wave int, status string",
+        )
+        m = wh.append_bucketed("t", df, key="key", num_buckets=4)
+        wh.commit(v, {"t": m})
+    before = wh.read("t")
+    assert before.count() == 240  # all versions retained pre-compaction
+    m = wh.compact_bucketed("t", version_col="wave", prefer_nonnull="status",
+                            max_files_per_bucket=3)
+    assert m is not None
+    wh.commit(99, {"t": m})
+    after = wh.read("t")
+    assert after.count() == 20  # one latest row per key
+    rows = {r["key"]: (r["wave"], r["status"]) for r in after.collect()}
+    assert all(v == (11, "val11") for v in rows.values())
+    # second compaction is a no-op (file counts now below threshold)
+    assert wh.compact_bucketed("t", version_col="wave", max_files_per_bucket=3) is None
