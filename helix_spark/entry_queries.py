@@ -3,7 +3,12 @@ SURVEY.md §2, expressed over the driver's TPC-H-ish testdata with an exact
 ANSI-SQL (DuckDB) oracle twin.
 
 Determinism rules applied throughout (the driver hash-compares values):
-- monetary/double sums go through DECIMAL(18,2) casts (exact, order-free)
+- every output column is int64 or string — NO DECIMAL/HUGEINT leaves a query
+  (the driver's normalizer renders those differently per engine; round-1
+  CORRECTNESS showed exactly the DECIMAL/HUGEINT queries hash-failing)
+- monetary sums go through DECIMAL(18,2) casts (exact, order-free), then are
+  emitted as BIGINT cents: CAST(sum*100 AS BIGINT) on both engines
+- DuckDB SUM over integers yields HUGEINT — always CAST(... AS BIGINT) in SQL
 - ratios become integers via floor(x*1000) (no round-half rules in play)
 - every top-k ranks with an explicit unique tiebreaker, never bare LIMIT
 - md5-derived int60 is the cross-engine hash (Spark conv() == DuckDB 0x cast)
@@ -104,8 +109,8 @@ def q_status_class_agg(spark, sf):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            (F.sum(F.col("l_quantity").cast(DEC)) * 100).cast("long").alias("sum_qty_cents"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)) * 100).cast("long").alias("sum_price_cents"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -113,8 +118,8 @@ def q_status_class_agg(spark, sf):
 
 SQL_STATUS_CLASS_AGG = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -245,30 +250,30 @@ def q_topk_revenue_join(spark, sf):
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)) * 100).cast("long").alias("sum_price_cents"),
             F.count("*").alias("n_lines"),
         )
     )
-    w = Window.orderBy(F.col("sum_price").desc(), F.col("o_orderkey"))
+    w = Window.orderBy(F.col("sum_price_cents").desc(), F.col("o_orderkey"))
     return (
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("o_orderkey", "sum_price", "n_lines", "rank")
+        .select("o_orderkey", "sum_price_cents", "n_lines", "rank")
     )
 
 
 SQL_TOPK_REVENUE = """
 WITH agg AS (
   SELECT o_orderkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents,
          COUNT(*) AS n_lines
   FROM customer JOIN orders ON c_custkey = o_custkey
   JOIN lineitem ON o_orderkey = l_orderkey
   WHERE c_mktsegment = 'BUILDING'
   GROUP BY o_orderkey
 )
-SELECT o_orderkey, sum_price, n_lines,
-       row_number() OVER (ORDER BY sum_price DESC, o_orderkey) AS rank
+SELECT o_orderkey, sum_price_cents, n_lines,
+       row_number() OVER (ORDER BY sum_price_cents DESC, o_orderkey) AS rank
 FROM agg QUALIFY rank <= 10
 """
 
@@ -289,14 +294,14 @@ def q_region_rollup_join(spark, sf):
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_price"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)) * 100).cast("long").alias("sum_price_cents"),
         )
     )
 
 
 SQL_REGION_ROLLUP = """
 SELECT r_name, n_name, COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -330,7 +335,7 @@ WITH g AS (
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
   FROM g
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM s GROUP BY user_id
 """
 
@@ -570,7 +575,7 @@ WITH n AS (
          CAST(floor(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,b) -> a+b) * 1000) AS BIGINT) AS norm2_milli
   FROM embeddings
 )
-SELECT label, COUNT(*) AS n, SUM(norm2_milli) AS sum_norm2_milli FROM n GROUP BY label
+SELECT label, COUNT(*) AS n, CAST(SUM(norm2_milli) AS BIGINT) AS sum_norm2_milli FROM n GROUP BY label
 """
 
 
