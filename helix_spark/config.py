@@ -28,6 +28,15 @@ class CrawlConfig:
     bloom_slices: int = 16
     seen_buckets: int = 32
     report_buckets: int = 32
+    # frontier is a ranged LSM (append + manifest-prune, never rewritten):
+    # priority range per leaf dir = 2^frontier_range_bits rows
+    frontier_range_bits: int = 18
+    # seen anti-join: scan-side semi + broadcast anti while the bloom-positive
+    # set is at most this many rows; shuffle anti-join above it
+    semi_broadcast_max_rows: int = 8_000_000
+    # bloom probe: broadcast the whole filter up to this size; above it the
+    # probe is slice-affine against the checkpointed per-slice parquet blobs
+    bloom_broadcast_max_bytes: int = 64 << 20
     # LSM compaction cadence: rewrite buckets with > max_files leaf dirs
     # every N waves (bounds read amplification on long crawls)
     compact_every: int = 16

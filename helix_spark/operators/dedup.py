@@ -49,15 +49,31 @@ def anti_join_seen(
     key: str = "url_hash",
     seen_key: str = "key_hash",
     prune_buckets: bool = False,
+    semi_broadcast_max_rows: int = 8_000_000,
+    maybe_rows: int | None = None,
 ) -> DataFrame:
     """candidates → subset whose ``key`` hash is NOT in the seen table
     (seen table column: ``seen_key``).
 
-    ``prune_buckets`` computes the candidates' bucket set and reads only
-    those buckets — worth it for SMALL candidate sets (resume requeues,
-    targeted backfills). The crawl hot path leaves it off: uniformly-hashed
-    admission batches touch every bucket, so the distinct+collect would be
-    a wasted full pass over the candidates."""
+    The exact check NEVER SHUFFLES THE SEEN TABLE. When the bloom-positive
+    set is small (``maybe_rows`` ≤ ``semi_broadcast_max_rows`` — the steady
+    state: bloom routes ~all novel URLs around this path), the join runs as
+    scan-side semi + broadcast anti:
+
+        hits = seen ⋉ broadcast(maybe_keys)   -- one columnar scan of seen,
+                                              -- zero shuffle of 10^10 rows
+        out  = maybe ▷ broadcast(hits)        -- hits ≤ |maybe|, tiny
+
+    An anti-join is insensitive to right-side duplicates, so no distinct on
+    either side. Above the threshold (giant backfills) it falls back to a
+    plain shuffle anti-join. At true 10^10 scale the residual cost is one
+    single-column scan of `seen` per wave; an Iceberg backend upgrades this
+    to a storage-partitioned join (tables.py module docstring seam).
+
+    ``prune_buckets`` additionally restricts the seen READ to the buckets
+    the candidates hash into — worth it only for small, skewed candidate
+    sets (resume requeues, targeted backfills); uniformly-hashed admission
+    batches touch every bucket."""
     if not warehouse.exists(seen_table):
         return candidates
     if bloom is not None:
@@ -81,8 +97,12 @@ def anti_join_seen(
     if seen is None:
         survivors = maybe
     else:
-        seen_keys = seen.select(F.col(seen_key).alias(key)).distinct()
-        survivors = maybe.join(seen_keys, on=key, how="left_anti")
+        seen_keys = seen.select(F.col(seen_key).alias(key))
+        if maybe_rows is not None and maybe_rows <= semi_broadcast_max_rows:
+            hits = seen_keys.join(F.broadcast(maybe.select(key)), on=key, how="left_semi")
+            survivors = maybe.join(F.broadcast(hits), on=key, how="left_anti")
+        else:
+            survivors = maybe.join(seen_keys, on=key, how="left_anti")
     if definite_new is not None:
         survivors = definite_new.unionByName(survivors.select(definite_new.columns))
     return survivors

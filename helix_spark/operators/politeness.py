@@ -49,19 +49,26 @@ def select_batch(
     wave: int,
     per_host_budget: int,
     salt_partitions: int = 16,
-) -> tuple[DataFrame, DataFrame]:
-    """→ (batch, remainder). batch = up to ``per_host_budget`` URLs per
-    eligible host, lowest ``priority`` first; remainder stays queued."""
+) -> DataFrame:
+    """→ batch = up to ``per_host_budget`` URLs per eligible host, lowest
+    ``priority`` first.
+
+    CURSOR CONSUMPTION MODEL (no remainder, no frontier rewrite): because
+    each wave takes a host's LOWEST-priority live rows and priorities only
+    ever grow (global monotonic counter), the consumed set per host is
+    always a priority PREFIX. One number per host — ``cursor`` = the max
+    priority ever batched — fully encodes consumption: a frontier row is
+    live iff priority > cursor[host]. Selection is a broadcast join +
+    filter + top-k window over the append-only frontier; nothing is ever
+    anti-joined or rewritten."""
     if host_state is not None:
         f = frontier.join(F.broadcast(host_state), on="host", how="left")
-        eligible = f.filter(
+        live = f.filter(F.col("priority") > F.coalesce(F.col("cursor"), F.lit(-1)))
+        eligible = live.filter(
             F.coalesce(F.col("next_allowed_wave"), F.lit(0)) <= F.lit(wave)
-        ).drop("next_allowed_wave")
-        blocked = f.filter(
-            F.coalesce(F.col("next_allowed_wave"), F.lit(0)) > F.lit(wave)
-        ).drop("next_allowed_wave")
+        ).drop("next_allowed_wave", "cursor")
     else:
-        eligible, blocked = frontier, frontier.limit(0)
+        eligible = frontier
 
     # Spark's WindowGroupLimit rule already runs a PARTIAL top-k per input
     # partition before the shuffle (visible as `WindowGroupLimit ... Partial`
@@ -69,23 +76,28 @@ def select_batch(
     # two-phase window would add — but without the second shuffle. A hot
     # host therefore ships at most per_host_budget rows per map partition.
     w = Window.partitionBy("host").orderBy("priority")
-    batch = (
+    return (
         eligible.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= per_host_budget)
         .drop("__rank")
     )
-    remainder = eligible.join(batch.select("url_hash"), on="url_hash", how="left_anti").unionByName(
-        blocked
-    )
-    return batch, remainder
 
 
 def next_host_state(
-    batch: DataFrame, robots: DataFrame | None, wave: int, host_state: DataFrame | None
+    batch: DataFrame,
+    robots: DataFrame | None,
+    wave: int,
+    host_state: DataFrame | None,
+    new_hosts: DataFrame | None = None,
 ) -> DataFrame:
     """Hosts fetched this wave become eligible again at
-    wave + 1 + crawl_delay_waves (logical clock)."""
-    hosts = batch.select("host").distinct()
+    wave + 1 + crawl_delay_waves (logical clock), and their consumption
+    ``cursor`` advances to the max priority batched (prefix property — see
+    select_batch). ``new_hosts`` (hosts of freshly admitted frontier rows)
+    are registered with cursor −1 so host_state covers EVERY frontier host:
+    min(cursor) over host_state is then an exact global live-priority lower
+    bound, which read_ranged uses to prune fully-consumed frontier ranges."""
+    hosts = batch.groupBy("host").agg(F.max("priority").alias("cursor"))
     if robots is not None:
         hosts = hosts.join(
             F.broadcast(robots.select("host", "crawl_delay_waves")), on="host", how="left"
@@ -97,7 +109,21 @@ def next_host_state(
         (F.lit(wave + 1) + F.coalesce(F.col("crawl_delay_waves"), F.lit(0))).alias(
             "next_allowed_wave"
         ),
+        F.col("cursor"),
     )
+    if new_hosts is not None:
+        fresh = (
+            new_hosts.select("host").distinct()
+            .join(updated.select("host"), on="host", how="left_anti")
+            .select(
+                "host",
+                F.lit(0).alias("next_allowed_wave"),
+                F.lit(-1).cast("long").alias("cursor"),
+            )
+        )
+        if host_state is not None:
+            fresh = fresh.join(host_state.select("host"), on="host", how="left_anti")
+        updated = updated.unionByName(fresh)
     if host_state is None:
         return updated
     carried = host_state.join(updated.select("host"), on="host", how="left_anti")

@@ -31,21 +31,25 @@ def _is_redirect(status):
     return (status >= 300) & (status < 400)
 
 
-def prepare_pages_store(pages: DataFrame) -> DataFrame:
+def prepare_pages_store(pages: DataFrame, sort_query: bool = True) -> DataFrame:
     """pages(url, status_code, content_type, size, redirect_to) → verify
     store keyed by url_hash with redirect chains pre-resolved:
     (url_hash, final_url, final_status, final_ctype, final_size).
 
+    ``sort_query`` must match CrawlConfig.sort_query: frontier url_hash keys
+    are computed under the config's canonicalization, so a store keyed under
+    a different one would miss every multi-param-query URL.
+
     The iterative resolution runs once, joins only the still-redirecting
     subset each hop, and the result is persisted by the caller."""
-    canon = canonical_url_col(F.col("url"))
+    canon = canonical_url_col(F.col("url"), sort_query=sort_query)
     base = pages.select(
         url_hash_col(canon).alias("url_hash"),
         canon.alias("p_url"),
         F.col("status_code").cast("int").alias("p_status"),
         F.col("content_type").alias("p_ctype"),
         F.col("size").cast("long").alias("p_size"),
-        canonical_url_col(F.col("redirect_to")).alias("p_next"),
+        canonical_url_col(F.col("redirect_to"), sort_query=sort_query).alias("p_next"),
     ).persist()
 
     redir = _is_redirect(F.col("p_status"))

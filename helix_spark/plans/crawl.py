@@ -15,11 +15,27 @@ Every wave ends in ONE atomic warehouse commit; the next wave reads state
 back from parquet — this both checkpoints (kill → resume from HEAD) and
 truncates DataFrame lineage (no unbounded plan growth across iterations).
 
-Scale posture: frontier/seen/report are hash-bucketed; the seen anti-join is
-bloom-prefiltered and bucket-pruned; per-host top-k is salted two-phase;
-joins against small dims (robots, host_state) broadcast; the content-store
-join is a plain equi-join on url_hash that AQE can re-plan. Nothing ever
-collects URLs to the driver — only counts and the tiny host/bucket lists.
+Scale posture:
+- frontier is an APPEND-ONLY priority-ranged LSM. Consumption is a per-host
+  cursor (max priority ever batched — valid because each wave takes a
+  host's lowest-priority live rows, so consumption is always a priority
+  prefix). No per-wave rewrite, no remainder anti-join, no tombstones;
+  fully-consumed priority ranges are dropped from the manifest with zero
+  IO. Per-wave frontier cost: one pruned scan + one O(batch) shuffle +
+  one O(new rows) append.
+- seen is a hash-bucketed LSM; the anti-join is bloom-prefiltered and the
+  exact residual check is a scan-side semi + broadcast anti — the 10^10-row
+  seen table is never shuffled (operators/dedup.py).
+- the bloom probe broadcasts only while the filter is small; past
+  cfg.bloom_broadcast_max_bytes it goes slice-affine against the
+  checkpointed per-slice blobs (state/bloom.py) — driver and executor
+  memory stay flat at the 10^10-URL / ~18 GB filter design point.
+- per-host top-k rides WindowGroupLimit partial pushdown; joins against
+  small dims (robots, host_state) broadcast; the content-store join is a
+  plain equi-join on url_hash that AQE can re-plan. Nothing ever collects
+  URLs to the driver — only counts and the tiny host/bucket lists.
+- termination is a driver-side exact live-row counter (admitted − consumed),
+  persisted in commit metrics — no O(frontier) emptiness scan.
 """
 
 from __future__ import annotations
@@ -28,7 +44,6 @@ import os
 import time
 from dataclasses import dataclass
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -60,7 +75,6 @@ from helix_spark.operators.politeness import (
 from helix_spark.operators.rank import with_global_rank
 from helix_spark.operators.verify import prepare_pages_store, verify_batch
 from helix_spark.state.bloom import PartitionedBloom
-from helix_spark.state.cuckoo import CuckooFilter
 from helix_spark.state.tables import SnapshotWarehouse
 
 RENDERABLE_TYPES = ("Html", "Unknown")
@@ -110,9 +124,10 @@ class CrawlEngine:
         # from it, and a generated `pages` (gen_pages_spark) would otherwise
         # be recomputed per derivation.
         pages = pages.localCheckpoint()
-        self.pages_store = prepare_pages_store(pages).localCheckpoint()
+        self.pages_store = prepare_pages_store(pages, sort_query=cfg.sort_query).localCheckpoint()
         self.pages_html = pages.filter(F.col("html") != "").select(
-            canonical_url_col(F.col("url")).alias("final_url"), "html"
+            canonical_url_col(F.col("url"), sort_query=cfg.sort_query).alias("final_url"),
+            "html",
         ).localCheckpoint()
         self.assets = page_assets.localCheckpoint()
         self.robots = robots.localCheckpoint()
@@ -120,29 +135,41 @@ class CrawlEngine:
             canonicalize_url_py(s, None, cfg.sort_query)[0] for s in cfg.seeds
         ]
         self.bloom: PartitionedBloom | None = None
-        self.cuckoo: CuckooFilter | None = None
         self.counter = 0
+        self.live = 0  # exact frontier live-row count (admitted − consumed)
         self.aborted = False
         self.verbose = bool(os.environ.get("HELIX_SPARK_VERBOSE"))
 
     # ----------------------------------------------------------- filter serde
+    # Note on the reference's cuckoo filter: its deletable queued-vs-settled
+    # membership (CoordinatorBlock.cs:268-273) is encoded here by the seen
+    # table's null-status rows, and nothing in the BFS wave loop consults a
+    # deletable filter — so the engine maintains no cuckoo (round-1 kept one
+    # updated per wave via a driver-side collect, a serial O(wave) chokepoint
+    # with zero consumers). state/cuckoo.py remains available for schedulers
+    # that evict/requeue; wiring it back means sharding its maintenance
+    # executor-side exactly like PartitionedBloom.build_update.
     def _init_filters(self) -> None:
         cfg = self.cfg
         self.bloom = PartitionedBloom.sized_for(cfg.expected_urls, cfg.bloom_fp_rate, cfg.bloom_slices)
-        self.cuckoo = CuckooFilter.sized_for(cfg.expected_urls)
+        self.bloom.broadcast_max_bytes = cfg.bloom_broadcast_max_bytes
 
     def _save_filters(self, wave: int) -> dict[str, str]:
+        # written partitioned by slice_id so the slice-affine probe can load
+        # one slice's blob per task straight from shared storage
         bloom_df = self.spark.createDataFrame(
             self.bloom.to_rows(wave),
-            "wave int, slice_id int, num_slices int, bits int, hashes int, blob binary",
-        )
-        cuckoo_df = self.spark.createDataFrame(
-            [(wave, self.cuckoo.num_buckets, self.cuckoo.to_bytes())],
-            "wave int, num_buckets int, blob binary",
-        )
+            "wave int, slice_id int, num_slices int, bits long, hashes int, blob binary",
+        ).repartition(F.col("slice_id"))
+        d = self.wh._new_data_dir("filters_bloom")
+        bloom_df.write.mode("overwrite").partitionBy("slice_id").parquet(d)
+        self.bloom.slice_paths = {
+            i: os.path.join(d, f"slice_id={i}") for i in range(self.bloom.num_slices)
+        }
         return {
-            "filters_bloom": self.wh.overwrite("filters_bloom", bloom_df),
-            "filters_cuckoo": self.wh.overwrite("filters_cuckoo", cuckoo_df),
+            "filters_bloom": self.wh._save_manifest(
+                "filters_bloom", {"key": None, "num_buckets": 0, "files": [d]}
+            ),
         }
 
     def _load_filters(self) -> None:
@@ -155,8 +182,12 @@ class CrawlEngine:
             for r in bloom_df.collect()
         ]
         self.bloom = PartitionedBloom.from_rows(rows)
-        crow = self.wh.read("filters_cuckoo").collect()[0]
-        self.cuckoo = CuckooFilter.from_bytes(crow["num_buckets"], bytes(crow["blob"]))
+        self.bloom.broadcast_max_bytes = self.cfg.bloom_broadcast_max_bytes
+        m = self.wh._load_manifest("filters_bloom")
+        d = m["files"][0]
+        self.bloom.slice_paths = {
+            i: os.path.join(d, f"slice_id={i}") for i in range(self.bloom.num_slices)
+        }
 
     # ------------------------------------------------------------- admission
     def _scope_expr(self, canonical, host, parent_host):
@@ -181,7 +212,7 @@ class CrawlEngine:
         One first-wins window + ONE bloom-prefiltered anti-join over all
         categories (keys are disjoint: raw vs canonical namespaces).
 
-        → (frontier_rows, report_rows, seen_rows, partition_counts)"""
+        → (frontier_rows, report_rows, seen_rows, partition_counts, n_frontier)"""
         cfg = self.cfg
         canonical = canonical_url_col(F.col("resolved"), sort_query=cfg.sort_query)
         status = F.when(F.col("resolved").isNull(), F.lit(STATUS_MALFORMED_URI)).otherwise(
@@ -250,9 +281,16 @@ class CrawlEngine:
         # re-analyzing the extract UDF + join + canonicalization tree
         t0 = time.time()
         enriched = enriched.localCheckpoint()
+        # cheap count on the checkpointed batch: an upper bound on the
+        # bloom-positive set, used to pick the seen-join strategy
+        n_batch = enriched.count()
         t1 = time.time()
         deduped = first_wins_in_batch(enriched, "key_hash", ["parent_priority", "seq"])
-        fresh = anti_join_seen(deduped, self.wh, self.bloom, key="key_hash")
+        fresh = anti_join_seen(
+            deduped, self.wh, self.bloom, key="key_hash",
+            semi_broadcast_max_rows=cfg.semi_broadcast_max_rows,
+            maybe_rows=n_batch,
+        )
         t2 = time.time()
         fresh, counts = with_global_rank(
             fresh, ["parent_priority", "seq"], rank_col="priority", offset=self.counter
@@ -301,9 +339,27 @@ class CrawlEngine:
             "status_pre", "ctype_pre", "size_pre", "is_internal", "priority",
             F.lit(wave).alias("wave_admitted"),
         )
-        return frontier_rows, report_rows, seen_rows, counts
+        # exact frontier-insert count for the driver's live counter —
+        # trivial on the checkpointed `fresh`
+        n_frontier = ok.count()
+        return frontier_rows, report_rows, seen_rows, counts, n_frontier
 
     # -------------------------------------------------------------- readers
+    def _min_cursor(self, host_state: DataFrame | None) -> int | None:
+        """Exact global live-priority lower bound: every frontier host is
+        registered in host_state (next_host_state new_hosts), so
+        min(cursor) is safe to prune frontier ranges below."""
+        if host_state is None:
+            return None
+        row = host_state.agg(F.min("cursor").alias("m")).collect()[0]
+        return row["m"]
+
+    def read_frontier(self, host_state: DataFrame | None = None) -> DataFrame | None:
+        """Append-only frontier scan, manifest-pruned to ranges that can
+        still hold live rows (priority > global min cursor). Liveness per
+        row is the caller's filter (select_batch joins host_state)."""
+        return self.wh.read_ranged("frontier", min_exclusive=self._min_cursor(host_state))
+
     def read_seen(self) -> DataFrame | None:
         """Seen map with LSM last-write-wins resolution: latest wave per key;
         within a wave, a settled status beats the queued-null row."""
@@ -338,7 +394,12 @@ class CrawlEngine:
         (column ``url``) — the resumed-crawl-with-backlog scenario used for
         frontier-throughput benchmarking at 10^x scale. URLs are admitted
         through the full pipeline (canonicalize, robots, dedup, bloom) with
-        themselves as parents (internal, non-orphan). Returns admitted count."""
+        themselves as parents (internal, non-orphan). Returns admitted count.
+
+        Admission order is ``xxhash64(url)`` — deterministic across runs and
+        cluster layouts (monotonically_increasing_id is partition-layout-
+        dependent; see operators/rank.py), so two bootstrap+resume runs
+        produce identical frontier priorities."""
         items = urls.select(
             F.col("url").alias("raw"),
             F.col("url").alias("resolved"),
@@ -349,16 +410,18 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("ctype_pre"),
             F.lit(None).cast("long").alias("size_pre"),
             F.lit(True).alias("is_internal_admit"),
-            F.lit(0).cast("long").alias("parent_priority"),
-            (F.monotonically_increasing_id() % (2**31 - 1)).cast("int").alias("seq"),
+            F.xxhash64(F.col("url")).alias("parent_priority"),
+            F.lit(0).cast("int").alias("seq"),
         )
         for f in ADMIT_SCHEMA.fields:
             items = items.withColumn(f.name, F.col(f.name).cast(f.dataType))
         self._init_filters()
-        frontier, report, seen, counts = self.admit(items, wave=0)
-        self._ingest_filters(seen, None)
+        frontier, report, seen, counts, n_frontier = self.admit(items, wave=0)
+        self._ingest_filters(seen)
         self.counter += sum(counts.values())
-        self._commit_wave(-1, frontier, report, seen, None, 0, counts)
+        self.live += n_frontier
+        self._commit_wave(-1, frontier, report, seen, None, 0, counts,
+                          n_frontier=n_frontier)
         return sum(counts.values())
 
     # ------------------------------------------------------------- wave body
@@ -368,6 +431,7 @@ class CrawlEngine:
         if head:
             start_wave = head["wave"] + 1
             self.counter = head["metrics"].get("counter", 0)
+            self.live = head["metrics"].get("live", 0)
             self._load_filters()
         else:
             self._init_filters()
@@ -378,10 +442,12 @@ class CrawlEngine:
                 ],
                 ADMIT_SCHEMA,
             )
-            frontier, report, seen, counts = self.admit(seeds, wave=0)
-            self._ingest_filters(seen, None)
+            frontier, report, seen, counts, n_frontier = self.admit(seeds, wave=0)
+            self._ingest_filters(seen)
             self.counter += sum(counts.values())
-            self._commit_wave(-1, frontier, report, seen, None, 0, counts)
+            self.live += n_frontier
+            self._commit_wave(-1, frontier, report, seen, None, 0, counts,
+                              n_frontier=n_frontier)
             start_wave = 0
 
         total_fetched = 0
@@ -395,14 +461,15 @@ class CrawlEngine:
                 phase_t[name] = round(now - _last[0], 1)
                 _last[0] = now
 
-            frontier = wh.read("frontier")
-            if frontier is None or frontier.isEmpty():
+            if self.live <= 0:  # exact driver-side counter — no frontier scan
                 break
             host_state = wh.read("host_state")
-            batch, remainder = select_batch(
+            frontier = self.read_frontier(host_state)
+            if frontier is None:
+                break
+            batch = select_batch(
                 frontier, host_state, wave, cfg.per_host_budget, cfg.salt_partitions
-            )
-            batch = batch.localCheckpoint()  # truncate window+read lineage
+            ).localCheckpoint()  # truncate window+read lineage
             _mark("select")
             verified = verify_batch(batch, self.pages_store)
 
@@ -430,18 +497,28 @@ class CrawlEngine:
             batch_count = stats["n"]
             if batch_count == 0:
                 # logical-clock tick: every queued host is still delayed
-                wh.commit(wave, {}, metrics={"counter": self.counter, "batch": 0})
+                wh.commit(wave, {}, metrics={
+                    "counter": self.counter, "live": self.live, "batch": 0,
+                })
                 wave += 1
                 continue
             total_fetched += batch_count
             log_rows = batch.select(F.lit(wave).alias("wave"), "priority", "url")
 
             if stats["seed_redirects"]:
-                # redirect at a seed aborts the crawl (CoordinatorBlock.cs:215-226)
+                # redirect at a seed aborts the crawl (CoordinatorBlock.cs:215-226).
+                # The oracle logs fetches one-by-one in priority order and stops
+                # AT the redirecting seed — truncate the batch log to match.
                 self.aborted = True
+                abort_pri = verified.filter(
+                    F.col("redirected") & F.col("url").isin(*self.seed_canon)
+                ).agg(F.min("priority").alias("p")).collect()[0]["p"]
+                log_rows = log_rows.filter(F.col("priority") <= abort_pri)
+                total_fetched += log_rows.count() - batch_count
                 mlog = wh.append("crawl_log", log_rows)
                 wh.commit(wave, {"crawl_log": mlog},
-                          metrics={"counter": self.counter, "aborted": True})
+                          metrics={"counter": self.counter, "live": self.live,
+                                   "aborted": True})
                 return CrawlOutcome(wave + 1, True, total_fetched)
 
             redirected = verified.filter(F.col("redirected"))
@@ -469,22 +546,23 @@ class CrawlEngine:
                 & (F.col("status_pre") == 0)
             )
             admissions = self._collect_admissions(renderable, redirected)
-            new_frontier, admit_report, admit_seen, counts = self.admit(admissions, wave + 1)
+            new_frontier, admit_report, admit_seen, counts, n_frontier = self.admit(
+                admissions, wave + 1
+            )
             _mark("admit")
-            self._ingest_filters(admit_seen, seen_updates)
+            self._ingest_filters(admit_seen)
             _mark("filters")
             self.counter += sum(counts.values())
+            self.live += n_frontier - batch_count
 
             all_report = report_rows.unionByName(admit_report)
             all_seen = seen_updates.unionByName(admit_seen)
-            next_frontier = remainder.select(FRONTIER_COLS).unionByName(
-                new_frontier.select(FRONTIER_COLS)
-            )
-            hs = next_host_state(batch, self.robots, wave, host_state)
+            hs = next_host_state(batch, self.robots, wave, host_state,
+                                 new_hosts=new_frontier)
             mlog = wh.append("crawl_log", log_rows)
             self._commit_wave(
-                wave, next_frontier, all_report, all_seen, hs, batch_count, counts,
-                extra_manifests={"crawl_log": mlog},
+                wave, new_frontier, all_report, all_seen, hs, batch_count, counts,
+                extra_manifests={"crawl_log": mlog}, n_frontier=n_frontier,
             )
             _mark("commit")
             if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
@@ -502,8 +580,17 @@ class CrawlEngine:
                 )
                 if m2:
                     cm["report"] = m2
+                # frontier "compaction" is a manifest edit: ranges entirely
+                # below the global min cursor are dropped with zero IO
+                min_cur = self._min_cursor(wh.read("host_state"))
+                if min_cur is not None:
+                    m3 = wh.prune_ranged("frontier", min_cur)
+                    if m3:
+                        cm["frontier"] = m3
                 if cm:
-                    wh.commit(wave, cm, metrics={"counter": self.counter, "compaction": True})
+                    wh.commit(wave, cm, metrics={"counter": self.counter,
+                                                 "live": self.live,
+                                                 "compaction": True})
             if self.verbose:
                 print(
                     f"[helix-spark] wave {wave}: batch={batch_count} "
@@ -515,22 +602,11 @@ class CrawlEngine:
 
         return CrawlOutcome(wave, self.aborted, total_fetched)
 
-    def _ingest_filters(self, admit_seen: DataFrame, seen_updates: DataFrame | None) -> None:
-        """bloom: every new seen key. cuckoo: queued keys in, settled keys out
-        (the null→status transition, CoordinatorBlock.cs:268-273). In this
-        sandbox the cuckoo maintenance collects hashes (small waves); at real
-        scale it would be partition-sharded like the bloom."""
+    def _ingest_filters(self, admit_seen: DataFrame) -> None:
+        """bloom: every new seen key, built executor-side per slice (numpy,
+        vectorized); the driver only ORs P small blobs. Nothing row-shaped
+        reaches the driver. (No cuckoo maintenance — see _init_filters.)"""
         self.bloom.build_update(admit_seen.select("key_hash"), hash_col="key_hash")
-        # Arrow toPandas (not collect) — Row materialization of millions of
-        # hashes was a serial driver hotspot that flattened scaling
-        queued = admit_seen.filter(F.col("status_code").isNull())
-        q = queued.select("key_hash").toPandas()["key_hash"].to_numpy(dtype=np.int64)
-        if len(q):
-            self.cuckoo.insert_hashes(q)
-        if seen_updates is not None:
-            d = seen_updates.select("key_hash").toPandas()["key_hash"].to_numpy(dtype=np.int64)
-            if len(d):
-                self.cuckoo.delete_hashes(d)
 
     # -------------------------------------------------------------- children
     def _collect_admissions(self, renderable: DataFrame, redirected: DataFrame) -> DataFrame:
@@ -602,10 +678,17 @@ class CrawlEngine:
 
     # ---------------------------------------------------------------- commit
     def _commit_wave(self, wave, frontier, report, seen, host_state, batch_count,
-                     partition_counts=None, extra_manifests: dict | None = None) -> None:
+                     partition_counts=None, extra_manifests: dict | None = None,
+                     n_frontier: int | None = None) -> None:
         wh, cfg = self.wh, self.cfg
         manifests = dict(extra_manifests or {})
-        manifests["frontier"] = wh.overwrite("frontier", frontier.select(FRONTIER_COLS))
+        if n_frontier is None or n_frontier > 0:
+            # append-only ranged LSM: O(new rows); consumed rows are encoded
+            # by host_state cursors, fully-dead ranges pruned at compaction
+            manifests["frontier"] = wh.append_ranged(
+                "frontier", frontier.select(FRONTIER_COLS),
+                range_col="priority", range_bits=cfg.frontier_range_bits,
+            )
         # seen/report are LSM append-only (O(new rows) per wave, bucket-pruned
         # reads): hash-uniform updates would touch every bucket of a
         # copy-on-write merge, degenerating to an O(table) rewrite per wave.
@@ -642,6 +725,7 @@ class CrawlEngine:
             manifests,
             metrics={
                 "counter": self.counter,
+                "live": self.live,
                 "batch": batch_count,
                 "admit_partition_rows": {str(k): v for k, v in (partition_counts or {}).items()},
             },

@@ -41,6 +41,11 @@ def optimal_hashes(m_bits: int, n: int) -> int:
     return max(1, min(16, round(m_bits / max(n, 1) * math.log(2))))
 
 
+def _slice_ids(hashes: np.ndarray, num_slices: int) -> np.ndarray:
+    """Slice assignment with Spark pmod semantics (floor-mod on int64)."""
+    return hashes.astype(np.int64) % np.int64(num_slices)
+
+
 def _positions(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
     """(len(h), k) bit positions via double hashing h1 + i*h2 mod m."""
     h = hashes.astype(np.uint64)
@@ -78,7 +83,10 @@ class PartitionedBloom:
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership over mixed-slice hashes → bool array."""
         h = hashes.astype(np.uint64)
-        sid = (h % np.uint64(self.num_slices)).astype(np.int64)
+        # slice id MUST match Spark's pmod on signed int64 (build_update
+        # groups by it): numpy int64 % positive is floor-mod == Spark pmod.
+        # uint64 % P diverges for negative hashes unless P divides 2^64.
+        sid = _slice_ids(hashes, self.num_slices)
         pos = _positions(h, self.num_hashes, self.bits_per_slice)
         out = np.ones(len(h), dtype=bool)
         stack = np.stack(self.slices)  # (P, bytes)
@@ -120,25 +128,89 @@ class PartitionedBloom:
         self.merge(update)
         return update
 
+    # set by the engine after save/load: per-slice parquet dirs of the
+    # checkpointed filter table + the broadcast cutover size
+    slice_paths: dict[int, str] | None = None
+    broadcast_max_bytes: int = 64 << 20
+
     def probe_col(self, df: DataFrame, hash_col: str = "url_hash",
-                  out_col: str = "maybe_seen") -> DataFrame:
-        """mapInPandas probe against the broadcast filter → boolean column."""
-        spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(self.to_dict())
+                  out_col: str = "maybe_seen",
+                  slice_paths: dict[int, str] | None = None,
+                  broadcast_max_bytes: int | None = None) -> DataFrame:
+        """Probe → boolean column. Two physical strategies:
+
+        - small filter (≤ ``broadcast_max_bytes`` total): broadcast the whole
+          structure, mapInPandas probe — one pass, no repartition.
+        - large filter with ``slice_paths`` (the checkpointed per-slice
+          parquet dirs): SLICE-AFFINE probe — candidates repartition by
+          slice id and each task loads ONLY its slice's blob from shared
+          storage. Nothing filter-sized is ever broadcast or collected: at
+          the 10^10-URL / ~18 GB design point every executor holds one
+          ~1 GB slice instead of the whole filter (whole-filter broadcast
+          there is a guaranteed OOM)."""
+        slice_paths = slice_paths if slice_paths is not None else self.slice_paths
+        if broadcast_max_bytes is None:
+            broadcast_max_bytes = self.broadcast_max_bytes
+        total_bytes = self.num_slices * (self.bits_per_slice // 8)
+        if slice_paths is None or total_bytes <= broadcast_max_bytes:
+            spark = df.sparkSession
+            bc = spark.sparkContext.broadcast(self.to_dict())
+            cols = df.columns
+
+            def probe(batches):
+                bloom = PartitionedBloom.from_dict(bc.value)
+                for pdf in batches:
+                    h = pdf[hash_col].to_numpy(dtype=np.int64)
+                    pdf = pdf.copy()
+                    pdf[out_col] = bloom.contains_hashes(h)
+                    yield pdf
+
+            from pyspark.sql.types import BooleanType
+
+            schema = StructType(list(df.schema.fields) + [StructField(out_col, BooleanType())])
+            return df.mapInPandas(probe, schema).select(*cols, out_col)
+        return self._probe_sliced(df, hash_col, out_col, slice_paths)
+
+    def _probe_sliced(self, df: DataFrame, hash_col: str, out_col: str,
+                      slice_paths: dict[int, str]) -> DataFrame:
+        P, bits, k = self.num_slices, self.bits_per_slice, self.num_hashes
         cols = df.columns
+        paths = {int(s): p for s, p in slice_paths.items()}
+        sliced = df.withColumn(
+            "__slice", F.pmod(F.col(hash_col), F.lit(P)).cast("int")
+        ).repartition(P, "__slice")
 
         def probe(batches):
-            bloom = PartitionedBloom.from_dict(bc.value)
+            import pyarrow.parquet as pq
+
+            cache: dict[int, np.ndarray] = {}  # ~1 slice per task (hash(P) collisions aside)
             for pdf in batches:
-                h = pdf[hash_col].to_numpy(dtype=np.int64)
-                pdf = pdf.copy()
-                pdf[out_col] = bloom.contains_hashes(h)
-                yield pdf
+                res = np.zeros(len(pdf), dtype=bool)
+                for sid, idx in pdf.groupby("__slice", sort=False).indices.items():
+                    sid = int(sid)
+                    arr = cache.get(sid)
+                    if arr is None:
+                        t = pq.read_table(paths[sid], columns=["blob"])
+                        arr = np.frombuffer(t["blob"][0].as_py(), dtype=np.uint8)
+                        cache[sid] = arr
+                    h = pdf[hash_col].to_numpy(dtype=np.int64)[idx]
+                    pos = _positions(h.astype(np.uint64), k, bits)
+                    ok = np.ones(len(idx), dtype=bool)
+                    for j in range(k):
+                        p = pos[:, j]
+                        ok &= ((arr[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
+                    res[idx] = ok
+                out = pdf.drop(columns=["__slice"]).copy()
+                out[out_col] = res
+                yield out
 
         from pyspark.sql.types import BooleanType
 
-        schema = StructType(list(df.schema.fields) + [StructField(out_col, BooleanType())])
-        return df.mapInPandas(probe, schema).select(*cols, out_col)
+        schema = StructType(
+            [f for f in df.schema.fields if f.name != "__slice"]
+            + [StructField(out_col, BooleanType())]
+        )
+        return sliced.mapInPandas(probe, schema).select(*cols, out_col)
 
     # -------------------------------------------------------------- serde
     def to_dict(self) -> dict:

@@ -189,6 +189,74 @@ class SnapshotWarehouse:
                 buckets.setdefault(str(b), []).append(sub)
         return self._save_manifest(name, {"key": key, "num_buckets": num_buckets, "buckets": buckets})
 
+    # ------------------------------------------------------- ranged tables
+    def append_ranged(self, name: str, df: DataFrame, range_col: str,
+                      range_bits: int = 18) -> str:
+        """LSM append for a table whose rows are CONSUMED in ``range_col``
+        order (the frontier: per-host priority prefixes). Rows are written
+        partitioned by ``range_id = range_col >> range_bits``; the manifest
+        records leaf dirs per range. Because consumption is a priority
+        prefix, a fully-consumed range is dropped from the manifest with
+        ZERO data movement (prune_ranged) — the frontier never needs a
+        rewrite, only appends + manifest edits. O(new data) per call."""
+        m = self._load_manifest(name) or {
+            "range_col": range_col, "range_bits": range_bits, "ranges": {}
+        }
+        if m.get("range_col") != range_col or m.get("range_bits") != range_bits:
+            raise ValueError(f"table {name}: range spec mismatch")
+        RANGE = "__range"
+        ranged = df.withColumn(
+            RANGE, F.shiftright(F.col(range_col).cast("long"), range_bits).cast("long")
+        )
+        d = self._new_data_dir(name)
+        ranged.repartition(F.col(RANGE)).write.mode("overwrite").partitionBy(
+            RANGE
+        ).parquet(d)
+        ranges: dict[str, list[str]] = {str(k): list(v) for k, v in m.get("ranges", {}).items()}
+        for sub in os.listdir(d):
+            if sub.startswith(f"{RANGE}="):
+                rid = sub.split("=", 1)[1]
+                ranges.setdefault(rid, []).append(os.path.join(d, sub))
+        return self._save_manifest(
+            name, {"range_col": range_col, "range_bits": range_bits, "ranges": ranges}
+        )
+
+    def read_ranged(self, name: str, min_exclusive: int | None = None) -> DataFrame | None:
+        """Read a ranged table, PRUNING ranges whose entire ``range_col``
+        span is ≤ ``min_exclusive`` (fully consumed) at the manifest level —
+        no file IO for dead ranges."""
+        m = self._load_manifest(name)
+        if m is None:
+            return None
+        bits = m["range_bits"]
+        paths = []
+        for rid, dirs in m.get("ranges", {}).items():
+            if min_exclusive is not None and ((int(rid) + 1) << bits) - 1 <= min_exclusive:
+                continue
+            paths.extend(dirs)
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def prune_ranged(self, name: str, min_exclusive: int) -> str | None:
+        """Drop fully-consumed ranges from the manifest (zero-IO compaction).
+        Returns the new manifest name, or None if nothing was prunable."""
+        m = self._load_manifest(name)
+        if m is None:
+            return None
+        bits = m["range_bits"]
+        keep = {
+            rid: dirs
+            for rid, dirs in m.get("ranges", {}).items()
+            if ((int(rid) + 1) << bits) - 1 > min_exclusive
+        }
+        if len(keep) == len(m.get("ranges", {})):
+            return None
+        return self._save_manifest(
+            name, {"range_col": m["range_col"], "range_bits": bits, "ranges": keep}
+        )
+
     def compact_bucketed(
         self, name: str, version_col: str | None = None,
         prefer_nonnull: str | None = None, max_files_per_bucket: int = 8,
