@@ -36,6 +36,8 @@ HEADLINE = [
     "url_canonicalize",
     "minhash_signature",
     "ngram_jaccard",
+    "near_dup_pairs",
+    "simhash",
     "embedding_topk",
     "exact_dedup",
 ]

@@ -415,18 +415,12 @@ FROM documents
 
 
 def q_quality_score(spark, sf):
-    """Surface-statistics quality score in integer milli-units."""
+    """Surface-statistics quality score in integer milli-units (the single
+    spec lives in functions/text.py:_quality_sum_col)."""
+    from helix_spark.functions.text import quality_score_milli_col
+
     docs = _t(spark, sf, "documents")
-    text = F.col("text")
-    n_chars = F.length(text)
-    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
-    n_tokens = token_count_col(text)
-    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    mean_tok = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
-    tok_band = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    nonempty = F.when(n_tokens >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
-    score = F.floor((alpha_ratio + tok_band + nonempty) / F.lit(3.0) * 1000).cast("long")
-    return docs.select("doc_id", score.alias("quality_milli"))
+    return docs.select("doc_id", quality_score_milli_col(F.col("text")).alias("quality_milli"))
 
 
 SQL_QUALITY_SCORE = f"""
@@ -657,14 +651,86 @@ FROM exploded a JOIN exploded b
 """
 
 
+def q_near_dup_pairs(spark, sf):
+    """Scale path for near-dup detection: LSH candidates → exact Jaccard
+    verify on candidates only (never corpus-wide quadratic)."""
+    from helix_spark.operators.textdedup import near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    return near_dup_pairs(docs, k=8, bands=4, threshold=0.2)
+
+
+def _sql_near_dup(k: int = 8, bands: int = 4, threshold_milli: int = 200) -> str:
+    from helix_spark.operators.textdedup import MINHASH_PERMS, MINHASH_PRIME
+
+    comps = []
+    for i in range(k):
+        a, b = MINHASH_PERMS[i]
+        comps.append(
+            f"list_min(list_transform(shingle_ints,"
+            f" x -> ((x % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME})) AS mh{i}"
+        )
+    rows_per_band = k // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
+        concat = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band,"
+            f" ('0x' || substr(md5({concat}), 1, 15))::BIGINT AS bucket FROM sig"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+), sh_arr AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> array_to_string(t[i:i+2], ' ')) AS shingles
+  FROM toks
+), ints AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS shingle_ints
+  FROM sh_arr
+), sig AS (
+  SELECT doc_id, {', '.join(comps)} FROM ints
+), exploded AS (
+  {' UNION ALL '.join(band_rows)}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exploded a JOIN exploded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM sh_arr
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(floor(1000.0 * n_common / (sa.n_sh + sb.n_sh - n_common)) AS BIGINT) AS jaccard_milli
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE floor(1000.0 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= {threshold_milli}
+"""
+
+
 def q_lsh_ann_topk(spark, sf):
-    """Approximate NN via hyperplane-LSH bucket scan — rows-only check (the
-    approximation has no SQL-exact twin; recall is validated in tests)."""
+    """Approximate NN via hyperplane-LSH bucket scan with one-flip
+    multiprobe — rows-only driver check (the approximation has no SQL-exact
+    twin); recall@10 vs brute force is asserted in
+    tests/test_similarity.py::test_lsh_ann_recall_multiprobe."""
     from helix_spark.operators.similarity import lsh_ann_topk
 
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return lsh_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=3)
+    return lsh_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=3, multiprobe=1)
 
 
 def q_image_decode_stats(spark, sf):
@@ -715,6 +781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_centroid_dist,
     "simhash": q_simhash,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "near_dup_pairs": q_near_dup_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
     "image_decode_stats": q_image_decode_stats,
     "payload_verify": q_payload_verify,
@@ -747,6 +814,7 @@ ORACLE: dict[str, str] = {
     "embedding_label_stats": SQL_EMB_LABEL_STATS,
     "simhash": _sql_simhash(),
     "minhash_lsh_pairs": _sql_lsh_pairs(),
+    "near_dup_pairs": _sql_near_dup(),
     # lsh_ann_topk / image_decode_stats / payload_verify: rows-only
     # (approximate ANN and binary decode have no SQL-exact twin)
 }

@@ -72,9 +72,10 @@ def lang_id_col(text: Column) -> Column:
     return best.getField("lang")
 
 
-def quality_score_col(text: Column) -> Column:
-    """Deterministic [0,1] quality score from simple surface statistics:
-    mean token length band, alpha ratio, and non-empty-ness."""
+def _quality_sum_col(text: Column) -> Column:
+    """Shared quality spec (ONE definition — both the float and the
+    hash-comparable milli-int form derive from this): alpha ratio + mean
+    token-length band + non-empty-ness, each in [0,1]."""
     n_chars = F.length(text)
     n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
     n_tokens = token_count_col(text)
@@ -82,7 +83,18 @@ def quality_score_col(text: Column) -> Column:
     mean_tok = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
     tok_band = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     nonempty = F.when(n_tokens >= 5, F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round((alpha_ratio + tok_band + nonempty) / F.lit(3.0), 6)
+    return alpha_ratio + tok_band + nonempty
+
+
+def quality_score_col(text: Column) -> Column:
+    """Deterministic [0,1] quality score from simple surface statistics."""
+    return F.round(_quality_sum_col(text) / F.lit(3.0), 6)
+
+
+def quality_score_milli_col(text: Column) -> Column:
+    """Integer milli-units form (floor — no round-half rules), the
+    cross-engine hash-comparable variant used by the driver battery."""
+    return F.floor(_quality_sum_col(text) / F.lit(3.0) * 1000).cast("long")
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:

@@ -50,22 +50,31 @@ def decode_stats(images: DataFrame) -> DataFrame:
         StructField("phash_match", BooleanType()),
     ])
 
+    luma_w = np.array([0.299, 0.587, 0.114])
+
     def run(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                px = _decode_one(bytes(r["bytes"]), r["fmt"])
-                luma = float(np.mean(px @ np.array([0.299, 0.587, 0.114])))
-                rows.append(
-                    {
-                        "image_id": r["image_id"],
-                        "dec_w": px.shape[1],
-                        "dec_h": px.shape[0],
-                        "mean_luma_milli": int(luma * 1000),
-                        "phash_match": codecs.phash64(px) == int(r["phash"]),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            # decode is inherently per-image (variable shapes); iterate via
+            # zip over column arrays — no pandas row materialization
+            pixels = [
+                _decode_one(bytes(b), f)
+                for b, f in zip(pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy())
+            ]
+            out = pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "dec_w": np.array([p.shape[1] for p in pixels], dtype=np.int32),
+                    "dec_h": np.array([p.shape[0] for p in pixels], dtype=np.int32),
+                    "mean_luma_milli": np.array(
+                        [int(float(np.mean(p @ luma_w)) * 1000) for p in pixels],
+                        dtype=np.int64,
+                    ),
+                    "phash_match": np.fromiter(
+                        (codecs.phash64(p) for p in pixels), dtype=np.int64, count=len(pixels)
+                    ) == pdf["phash"].to_numpy(dtype=np.int64),
+                }
+            )
+            yield out
 
     return images.select("image_id", "bytes", "fmt", "phash").mapInPandas(run, schema)
 
@@ -90,25 +99,31 @@ def verify_payloads(images: DataFrame, reference: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                px = _decode_one(bytes(r["bytes"]), r["fmt"])
-                ref_px = _decode_one(bytes(r["ref_bytes"]), r["ref_fmt"])
-                if r["fmt"] == "png" and r["ref_fmt"] == "png":
+            oks, psnrs = [], []
+            for data, fmt, rdata, rfmt in zip(
+                pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy(),
+                pdf["ref_bytes"].to_numpy(), pdf["ref_fmt"].to_numpy(),
+            ):
+                px = _decode_one(bytes(data), fmt)
+                ref_px = _decode_one(bytes(rdata), rfmt)
+                if fmt == "png" and rfmt == "png":
                     ok = bool(np.array_equal(px, ref_px))
                     p = float("inf") if ok else codecs.psnr(px, ref_px)
                 else:
                     p = codecs.psnr(ref_px, px)
                     ok = p >= 40.0
-                rows.append(
-                    {
-                        "image_id": r["image_id"],
-                        "pixels_ok": ok,
-                        "psnr_db": min(p, 99.0),
-                        "caption_ok": r["caption"] == r["ref_caption"],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                oks.append(ok)
+                psnrs.append(min(p, 99.0))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "pixels_ok": np.array(oks, dtype=bool),
+                    "psnr_db": np.array(psnrs, dtype=np.float64),
+                    "caption_ok": (
+                        pdf["caption"].to_numpy() == pdf["ref_caption"].to_numpy()
+                    ),
+                }
+            )
 
     return joined.mapInPandas(run, schema)
 
@@ -125,22 +140,21 @@ def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFr
 
     def run(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                px = _decode_one(bytes(r["bytes"]), r["fmt"])
+            thumbs = []
+            for data, fmt in zip(pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()):
+                px = _decode_one(bytes(data), fmt)
                 h, w, _ = px.shape
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                thumb = px[yi][:, xi]
-                rows.append(
-                    {
-                        "image_id": r["image_id"],
-                        "thumb": codecs.encode_png(thumb.astype(np.uint8)),
-                        "thumb_w": out_w,
-                        "thumb_h": out_h,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                thumbs.append(codecs.encode_png(px[yi][:, xi].astype(np.uint8)))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "thumb": thumbs,
+                    "thumb_w": np.full(len(thumbs), out_w, dtype=np.int32),
+                    "thumb_h": np.full(len(thumbs), out_h, dtype=np.int32),
+                }
+            )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema)
 
@@ -154,22 +168,25 @@ def image_features(images: DataFrame, grid: int = 4) -> DataFrame:
         StructField("phash", LongType()),
     ])
 
+    luma_w = np.array([0.299, 0.587, 0.114])
+
     def run(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                px = _decode_one(bytes(r["bytes"]), r["fmt"])
-                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            feats, phashes = [], []
+            for data, fmt in zip(pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()):
+                px = _decode_one(bytes(data), fmt)
+                luma = px.astype(np.float64) @ luma_w
                 h, w = luma.shape
                 bh, bw = max(h // grid, 1), max(w // grid, 1)
                 blocks = luma[: bh * grid, : bw * grid].reshape(grid, bh, grid, bw).mean(axis=(1, 3))
-                rows.append(
-                    {
-                        "image_id": r["image_id"],
-                        "feature": ",".join(f"{v:.3f}" for v in blocks.ravel()),
-                        "phash": codecs.phash64(px),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                feats.append(",".join(f"{v:.3f}" for v in blocks.ravel()))
+                phashes.append(codecs.phash64(px))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "feature": feats,
+                    "phash": np.array(phashes, dtype=np.int64),
+                }
+            )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema)

@@ -49,17 +49,31 @@ def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[f
         row = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
-            row.append(((state >> 33) / 2**31) - 1.0)  # [-1, 1)
+            # top 32 bits → [0, 2^32) → [-1, 1). (A previous version took 31
+            # bits over 2^31 which lands in [-1, 0): all-negative planes
+            # collapse every vector into one bucket — no hashing at all.)
+            row.append((state >> 32) / 2**31 - 1.0)
         planes.append(row)
     return planes
 
 
 def lsh_ann_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 4,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: scan only the query's hyperplane-sign bucket.
-    Recall < 1 by design; returned ranks are exact within the bucket."""
+    """Approximate top-k: scan only the query's hyperplane-sign bucket plus
+    its ``multiprobe`` nearest neighbor buckets (Hamming distance ≤
+    multiprobe flips of the sign bits — the standard multiprobe-LSH recall
+    repair: near neighbors that fall on the far side of ONE hyperplane are
+    recovered without growing the corpus-side bucket count). multiprobe=0
+    is the single-bucket probe. Recall < 1 by design; returned ranks are
+    exact within the probed buckets. Recall@k vs brute force is measured in
+    tests/test_similarity.py across n_planes and multiprobe settings.
+
+    Scale shape: the corpus side is bucket-pruned by an IN filter over
+    1 + n_planes·multiprobe literals — a scan filter, no shuffle, and with
+    the corpus written bucket-partitioned the probe reads only those
+    partitions."""
     dim = len(query_vec)
     planes = deterministic_planes(dim, n_planes)
     bucketed = embeddings.withColumn("bucket", sign_bits_col(F.col(vec_col), planes))
@@ -67,5 +81,13 @@ def lsh_ann_topk(
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             qbits |= 1 << i
-    cand = bucketed.filter(F.col("bucket") == qbits)
+    probes = {qbits}
+    if multiprobe >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(n_planes)}
+    if multiprobe >= 2:
+        probes |= {
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        }
+    cand = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)

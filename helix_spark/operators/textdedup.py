@@ -71,10 +71,19 @@ def minhash_signature(
 def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 8, bands: int = 4, shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-component signature into bands, bucket-join.
     → candidate pairs (id_a < id_b) that share ≥1 band bucket. Scale path:
-    the self-join is on (band, bucket) — hash-partitioned, no full cross."""
+    the self-join is on (band, bucket) — hash-partitioned, no full cross.
+
+    HOT-BUCKET GUARD (``max_bucket_size``): a degenerate bucket (a
+    boilerplate/near-identical cluster) would make the self-join quadratic
+    in that bucket. Buckets larger than the cap emit STAR pairs instead —
+    every member paired with the bucket's min id. That keeps the output
+    O(bucket) while preserving the connectivity a union-find dedup pass
+    needs (all members still land in one component). None = exact all-pairs
+    (the oracle-checked default)."""
     sig = minhash_signature(docs, text_col, id_col, k, shingle_n)
     rows_per_band = k // bands
     buckets = []
@@ -88,6 +97,26 @@ def minhash_lsh_pairs(
     exploded = buckets[0]
     for bdf in buckets[1:]:
         exploded = exploded.unionByName(bdf)
+
+    if max_bucket_size is not None:
+        stats = exploded.groupBy("band", "bucket").agg(
+            F.count("*").alias("__n"), F.min(id_col).alias("__rep")
+        )
+        tagged = exploded.join(stats, on=["band", "bucket"])
+        small = tagged.filter(F.col("__n") <= max_bucket_size).drop("__n", "__rep")
+        star = (
+            tagged.filter((F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__rep")))
+            .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        left = small.withColumnRenamed(id_col, "id_a")
+        right = small.withColumnRenamed(id_col, "id_b")
+        all_pairs = (
+            left.join(right, on=["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        return all_pairs.unionByName(star).distinct()
+
     left = exploded.withColumnRenamed(id_col, "id_a")
     right = exploded.withColumnRenamed(id_col, "id_b")
     return (
@@ -133,6 +162,46 @@ def ngram_jaccard_pairs(
     return out
 
 
+def near_dup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, bands: int = 4, shingle_n: int = 3, threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """THE scale-correct near-dup pipeline: MinHash-LSH candidate generation
+    → exact n-gram Jaccard verification on CANDIDATES ONLY. Corpus-wide
+    exact Jaccard (ngram_jaccard_pairs) is quadratic on repetitive corpora;
+    this bounds the exact stage to the LSH candidate set, which is the only
+    shape that survives 100 TB. Deterministic (LSH buckets are md5-derived),
+    so a SQL oracle reproduces it exactly."""
+    cand = minhash_lsh_pairs(docs, text_col, id_col, k, bands, shingle_n, max_bucket_size)
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "sh")
+    sb = sh.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        cand.join(sa, on="id_a")
+        .join(sb, on=["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .withColumn(
+            "jaccard_milli",
+            F.floor(
+                F.lit(1000) * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_milli") >= int(threshold * 1000))
+        .select("id_a", "id_b", "n_common", "jaccard_milli")
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               bits: int = 16) -> DataFrame:
     """SimHash: per token, md5-derived bits vote ±1; bit i of the output is
@@ -143,13 +212,18 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     toks = tokens_col(F.col(text_col))
     ints = F.transform(toks, lambda t: md5_int60_col(t))
-    n = F.size(ints)
+    # two-step projection (same fix as minhash_signature above): the md5
+    # token-int array is referenced 2×bits times and CollapseProject will
+    # not re-inline a non-cheap expression — materialize it ONCE per row
+    with_ints = docs.select(F.col(id_col), ints.alias("__ints"))
+    arr = F.col("__ints")
+    n = F.size(arr)
 
     def _one_bit(i):
         return lambda x: (F.shiftright(x, i) % 2) == 1
 
     val = F.lit(0).cast("long")
     for i in range(bits):
-        ones = F.size(F.filter(ints, _one_bit(i)))
+        ones = F.size(F.filter(arr, _one_bit(i)))
         val = val + F.when(ones * 2 > n, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
-    return docs.select(F.col(id_col), val.alias("simhash"))
+    return with_ints.select(F.col(id_col), val.alias("simhash"))

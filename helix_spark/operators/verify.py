@@ -43,6 +43,11 @@ def prepare_pages_store(pages: DataFrame, sort_query: bool = True) -> DataFrame:
     The iterative resolution runs once, joins only the still-redirecting
     subset each hop, and the result is persisted by the caller."""
     canon = canonical_url_col(F.col("url"), sort_query=sort_query)
+    load = (
+        F.col("load_ms").cast("long")
+        if "load_ms" in pages.columns
+        else F.lit(None).cast("long")
+    )
     base = pages.select(
         url_hash_col(canon).alias("url_hash"),
         canon.alias("p_url"),
@@ -50,6 +55,7 @@ def prepare_pages_store(pages: DataFrame, sort_query: bool = True) -> DataFrame:
         F.col("content_type").alias("p_ctype"),
         F.col("size").cast("long").alias("p_size"),
         canonical_url_col(F.col("redirect_to"), sort_query=sort_query).alias("p_next"),
+        load.alias("p_load"),
     ).persist()
 
     redir = _is_redirect(F.col("p_status"))
@@ -60,6 +66,7 @@ def prepare_pages_store(pages: DataFrame, sort_query: bool = True) -> DataFrame:
         F.col("p_url").alias("final_url"),
         F.col("p_ctype").alias("final_ctype"),
         F.col("p_size").alias("final_size"),
+        F.col("p_load").alias("final_load_ms"),
     )
     pending = base.filter(redir & F.col("p_next").isNotNull()).select(
         "url_hash", F.col("p_next").alias("cur_url")
@@ -70,6 +77,7 @@ def prepare_pages_store(pages: DataFrame, sort_query: bool = True) -> DataFrame:
         F.col("p_ctype").alias("c_ctype"),
         F.col("p_size").alias("c_size"),
         F.col("p_next").alias("c_next"),
+        F.col("p_load").alias("c_load"),
     )
     for _hop in range(MAX_REDIRECT_HOPS):
         # localCheckpoint per hop: the pending set shrinks geometrically but
@@ -99,6 +107,8 @@ def prepare_pages_store(pages: DataFrame, sort_query: bool = True) -> DataFrame:
             .otherwise(F.col("c_ctype")).alias("final_ctype"),
             F.when(F.col("c_status").isNull() | _is_redirect(F.col("c_status")), F.lit(None))
             .otherwise(F.col("c_size")).cast("long").alias("final_size"),
+            F.when(F.col("c_status").isNull() | _is_redirect(F.col("c_status")), F.lit(None))
+            .otherwise(F.col("c_load")).cast("long").alias("final_load_ms"),
         )
         done = done.unionByName(settled)
         pending = j.filter(
@@ -113,6 +123,7 @@ def prepare_pages_store(pages: DataFrame, sort_query: bool = True) -> DataFrame:
         F.col("cur_url").alias("final_url"),
         F.lit(None).cast("string").alias("final_ctype"),
         F.lit(None).cast("long").alias("final_size"),
+        F.lit(None).cast("long").alias("final_load_ms"),
     )
     store = done.unionByName(leftovers)
     base.unpersist()
@@ -132,6 +143,8 @@ def verify_batch(batch: DataFrame, pages_store: DataFrame) -> DataFrame:
         .otherwise(F.coalesce(F.col("final_status"), F.lit(STATUS_FAILED))).alias("status_code"),
         F.when(~needs_verify, F.col("ctype_pre")).otherwise(F.col("final_ctype")).alias("content_type"),
         F.when(~needs_verify, F.col("size_pre")).otherwise(F.col("final_size")).alias("size"),
+        F.when(~needs_verify, F.lit(None).cast("long"))
+        .otherwise(F.col("final_load_ms")).alias("load_ms"),
     ).withColumnRenamed("final_url2", "final_url")
     return (
         out.withColumn("final_hash", url_hash_col(F.col("final_url")))

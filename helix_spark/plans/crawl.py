@@ -388,6 +388,19 @@ class CrawlEngine:
             .drop("__rn", "wave")
         )
 
+    def export_report(self, path: str, fmt: str = "csv") -> int:
+        """The reference's user artifact: SQL-queryable SQLite / CSV report
+        (README.md:36-38; ReportWriterBlock.cs:111-128). See sinks.py."""
+        from helix_spark.sinks import export_report
+
+        report = self.read_report()
+        if report is None:
+            report = self.spark.createDataFrame(
+                [], "verified_url string, parent_url string, is_internal boolean,"
+                " resource_type string, status_code int",
+            )
+        return export_report(report, path, fmt)
+
     # ----------------------------------------------------------- bootstrap
     def bootstrap_frontier(self, urls: DataFrame) -> int:
         """Pre-populate the frontier from a DataFrame of absolute URLs
@@ -493,6 +506,10 @@ class CrawlEngine:
                 F.sum(
                     (F.col("redirected") & F.col("url").isin(*self.seed_canon)).cast("int")
                 ).alias("seed_redirects"),
+                # avg page-load time over this wave's settled fetches
+                # (README.md:28-29 / StatisticsSnapshot.cs:7 analog) — rides
+                # the existing one-row agg, no extra action
+                F.avg(F.when(~F.col("redirected"), F.col("load_ms"))).alias("avg_load_ms"),
             ).collect()[0]
             batch_count = stats["n"]
             if batch_count == 0:
@@ -563,6 +580,7 @@ class CrawlEngine:
             self._commit_wave(
                 wave, new_frontier, all_report, all_seen, hs, batch_count, counts,
                 extra_manifests={"crawl_log": mlog}, n_frontier=n_frontier,
+                avg_load_ms=stats["avg_load_ms"],
             )
             _mark("commit")
             if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
@@ -679,7 +697,8 @@ class CrawlEngine:
     # ---------------------------------------------------------------- commit
     def _commit_wave(self, wave, frontier, report, seen, host_state, batch_count,
                      partition_counts=None, extra_manifests: dict | None = None,
-                     n_frontier: int | None = None) -> None:
+                     n_frontier: int | None = None,
+                     avg_load_ms: float | None = None) -> None:
         wh, cfg = self.wh, self.cfg
         manifests = dict(extra_manifests or {})
         if n_frontier is None or n_frontier > 0:
@@ -717,6 +736,7 @@ class CrawlEngine:
                 F.sum((F.abs(F.col("status_code")) < 400).cast("int")), F.lit(0)
             ).alias("valid_new"),
             F.lit(batch_count).alias("batch"),
+            F.lit(avg_load_ms).cast("double").alias("avg_page_load_ms"),
         )
         manifests["metrics"] = wh.append("metrics", wave_metrics)
         manifests.update(self._save_filters(wave))

@@ -52,6 +52,9 @@ class OracleResult:
     crawl_order: list[tuple[int, str]] = field(default_factory=list)
     waves: int = 0
     aborted: bool = False
+    # per-wave avg page-load time over settled fetches
+    # (StatisticsSnapshot.cs:7 parity; None when nothing settled with a load)
+    wave_avg_load_ms: dict[int, float | None] = field(default_factory=dict)
 
 
 class SerialOracle:
@@ -214,8 +217,15 @@ class SerialOracle:
                     res.waves = wave + 1
                     return res
 
+            loads = [
+                load
+                for item, (final, _s, _c, _z, load) in fetched
+                if final == item["url"] and load is not None
+            ]
+            res.wave_avg_load_ms[wave] = (sum(loads) / len(loads)) if loads else None
+
             admissions = []
-            for item, (final, status, ctype, size) in fetched:
+            for item, (final, status, ctype, size, _load) in fetched:
                 rtype = resource_type_py(ctype)
                 is_internal = item["is_internal"]
                 if item["is_extracted"] and item["status_pre"] == 0 and item["url"] not in self.seed_canon:
@@ -306,22 +316,25 @@ class SerialOracle:
         return res
 
     # ----------------------------------------------------------------- fetch
-    def _fetch(self, item) -> tuple[str, int, str | None, int | None]:
-        """(final_url, status, content_type, size) with bounded redirect
-        following — the ResourceVerifier.Verify twin."""
+    def _fetch(self, item) -> tuple[str, int, str | None, int | None, int | None]:
+        """(final_url, status, content_type, size, load_ms) with bounded
+        redirect following — the ResourceVerifier.Verify twin."""
         if not (item["is_extracted"] and item["status_pre"] == 0):
-            return item["url"], item["status_pre"], item["ctype_pre"], item["size_pre"]
+            return item["url"], item["status_pre"], item["ctype_pre"], item["size_pre"], None
         url = item["url"]
         for _ in range(11):
             page = self.pages.get(url)
             if page is None:
-                return url, -400, None, None
+                return url, -400, None, None, None
             status = int(page["status_code"])
             if 300 <= status < 400:
                 nxt = page.get("redirect_to")
                 if not nxt or not isinstance(nxt, str):
-                    return url, -400, None, None
+                    return url, -400, None, None, None
                 url = canonicalize_url_py(nxt, None, self.cfg.sort_query)[0]
                 continue
-            return url, status, page["content_type"], int(page["size"])
-        return url, -400, None, None  # hop limit (HttpRedirectException analog)
+            load = page.get("load_ms")
+            return url, status, page["content_type"], int(page["size"]), (
+                int(load) if load is not None else None
+            )
+        return url, -400, None, None, None  # hop limit (HttpRedirectException analog)

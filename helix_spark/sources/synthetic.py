@@ -81,6 +81,13 @@ def page_size(i: int) -> int:
     return BIG_SIZE if i % BIG_MOD == BIG_RES else 1000 + (i * 997) % 50000
 
 
+def page_load_ms(i: int) -> int:
+    """Deterministic per-page load time (ProcessingResult.cs:7
+    MillisecondsPageLoadTime analog) — feeds the avg-page-load-time metric
+    (README.md:28-29, StatisticsSnapshot.cs:7)."""
+    return 50 + (i * 37) % 950
+
+
 def n_links(i: int) -> int:
     return (i % 4) + 1
 
@@ -122,6 +129,7 @@ def gen_pages_py(N: int, H: int = 8) -> pd.DataFrame:
             "redirect_to": page_url(redirect_target(i, N), H)
             if page_status(i) == 301
             else None,
+            "load_ms": page_load_ms(i),
         }
         for i in range(N)
     ]
@@ -319,4 +327,5 @@ def gen_pages_spark(spark: SparkSession, N: int, H: int = 8) -> DataFrame:
         ctype.alias("content_type"),
         size.cast("long").alias("size"),
         redirect_to.alias("redirect_to"),
+        (F.lit(50) + (i * 37) % 950).cast("long").alias("load_ms"),
     )

@@ -132,6 +132,28 @@ def test_broken_set_derivation(parity):
     assert broken == oracle_broken and len(broken) > 0
 
 
+def test_avg_page_load_time_parity(parity):
+    """README.md:28-29 / StatisticsSnapshot.cs:7: per-wave avg page-load
+    time over settled fetches must match the oracle's."""
+    oracle, engine, _ = parity
+    metrics = {
+        r["wave"]: r["avg_page_load_ms"]
+        for r in engine.wh.read("metrics").collect()
+        if r["wave"] >= 0
+    }
+    compared = 0
+    for wave, want in oracle.wave_avg_load_ms.items():
+        got = metrics.get(wave)
+        if want is None:
+            assert got is None, f"wave {wave}: engine={got} oracle=None"
+        else:
+            assert got is not None and abs(got - want) < 1e-6, (
+                f"wave {wave}: engine={got} oracle={want}"
+            )
+            compared += 1
+    assert compared > 0, "no waves with load data compared"
+
+
 def test_abort_on_seed_redirect(spark, tmp_path):
     cfg = CrawlConfig(
         seeds=["http://host0.test/p/3"],  # i=3 → 301 (REDIR_MOD)
@@ -144,3 +166,53 @@ def test_abort_on_seed_redirect(spark, tmp_path):
     )
     oracle, engine, outcome = _run_both(spark, tmp_path, cfg, N=40, H=4)
     assert oracle.aborted and outcome.aborted
+    # the fetch log must match the oracle EXACTLY on the abort wave too:
+    # the oracle stops recording at the redirecting seed
+    assert _engine_order(engine) == oracle.crawl_order
+
+
+def test_querystring_parity_sort_query_off(spark, tmp_path):
+    """sort_query=False (strict reference-parity mode) with multi-param
+    query URLs: the verify store must key URLs under the SAME
+    canonicalization as the frontier, or every query URL turns into a
+    spurious −400 (the synthetic universe has no query strings, so only
+    this fixture exercises it)."""
+    import pandas as pd
+
+    purl = "http://qhost0.test/a?b=2&a=1"
+    curl = "http://qhost0.test/b?z=9&y=8"
+    pages_pd = pd.DataFrame([
+        {"url": purl, "html": f'<a href="{curl}">c</a>', "status_code": 200,
+         "content_type": "text/html", "size": 100, "redirect_to": None, "load_ms": 70},
+        {"url": curl, "html": "", "status_code": 200,
+         "content_type": "text/html", "size": 50, "redirect_to": None, "load_ms": 90},
+    ])
+    assets_pd = pd.DataFrame(
+        [], columns=["page_url", "asset_url", "content_type", "size", "status_code", "seq"]
+    )
+    robots_pd = pd.DataFrame(
+        [{"host": "qhost0.test", "disallow_prefixes": [], "crawl_delay_waves": 0}]
+    )
+    # store URLs above are canonical under sort_query=False specifically
+    # (the oracle's store is keyed by canonical-by-construction URLs)
+    cfg = CrawlConfig(
+        seeds=[purl], per_host_budget=4, max_waves=6, expected_urls=100,
+        bloom_slices=4, seen_buckets=4, report_buckets=4,
+        sort_query=False,
+    )
+    oracle = SerialOracle(cfg, pages_pd, assets_pd, robots_pd).run()
+    pages = spark.createDataFrame(pages_pd)
+    assets = spark.createDataFrame(
+        assets_pd, "page_url string, asset_url string, content_type string,"
+        " size long, status_code int, seq int"
+    )
+    robots = spark.createDataFrame(robots_pd)
+    engine = CrawlEngine(spark, cfg, str(tmp_path / "wh_q"), pages, assets, robots)
+    engine.run()
+    got = _engine_report(engine)
+    assert set(got) == set(oracle.report), (got.keys(), oracle.report.keys())
+    for k, want in oracle.report.items():
+        assert got[k] == want, (k, got[k], want)
+    # both pages must verify as 200 — a store/frontier key mismatch would
+    # surface them as −400
+    assert all(v["status_code"] == 200 for v in got.values()), got

@@ -1,0 +1,103 @@
+"""Ranged-LSM warehouse tables (the append-only frontier's storage) and the
+non-power-of-two bloom slice fix."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from helix_spark.state.bloom import PartitionedBloom
+from helix_spark.state.tables import SnapshotWarehouse
+
+
+def _wh(spark, tmp_path) -> SnapshotWarehouse:
+    return SnapshotWarehouse(spark, str(tmp_path / "wh"))
+
+
+def test_append_ranged_and_read(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    df1 = spark.range(0, 100).select(F.col("id").alias("priority"), F.lit("a").alias("v"))
+    m1 = wh.append_ranged("t", df1, range_col="priority", range_bits=5)  # ranges of 32
+    wh.commit(0, {"t": m1})
+    df2 = spark.range(100, 130).select(F.col("id").alias("priority"), F.lit("b").alias("v"))
+    m2 = wh.append_ranged("t", df2, range_col="priority", range_bits=5)
+    wh.commit(1, {"t": m2})
+    assert wh.read_ranged("t").count() == 130
+
+
+def test_read_ranged_prunes_consumed_prefix(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    df = spark.range(0, 128).select(F.col("id").alias("priority"))
+    wh.commit(0, {"t": wh.append_ranged("t", df, range_col="priority", range_bits=5)})
+    # min_exclusive=63: ranges 0 (0-31) and 1 (32-63) are fully consumed
+    out = wh.read_ranged("t", min_exclusive=63)
+    vals = sorted(r["priority"] for r in out.collect())
+    # pruning is manifest-level (range granularity): nothing below 64 remains
+    assert vals[0] >= 64 and vals[-1] == 127 and len(vals) == 64
+    # an intra-range bound keeps the whole boundary range (rows ≤ bound kept)
+    out2 = wh.read_ranged("t", min_exclusive=40)
+    assert sorted(r["priority"] for r in out2.collect())[0] == 32
+
+
+def test_prune_ranged_zero_io_compaction(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    df = spark.range(0, 128).select(F.col("id").alias("priority"))
+    wh.commit(0, {"t": wh.append_ranged("t", df, range_col="priority", range_bits=5)})
+    m = wh.prune_ranged("t", min_exclusive=63)
+    assert m is not None
+    wh.commit(1, {"t": m})
+    manifest = wh._load_manifest("t")
+    assert sorted(int(k) for k in manifest["ranges"]) == [2, 3]
+    assert wh.read_ranged("t").count() == 64
+    # nothing prunable → None (no new manifest written)
+    assert wh.prune_ranged("t", min_exclusive=63) is None
+
+
+def test_bloom_non_power_of_two_slices(spark):
+    """Build (Spark pmod on signed int64) and probe (numpy) must agree on
+    slice assignment for negative hashes when num_slices is NOT a power of
+    two — the round-1 bug made such hashes bloom-false-NEGATIVE, silently
+    re-admitting seen URLs."""
+    rng = np.random.default_rng(3)
+    present = rng.integers(-(2**62), 2**62, 4000, dtype=np.int64)
+    bloom = PartitionedBloom.sized_for(8000, p=1e-3, num_slices=10)  # not 2^k
+    df = spark.createDataFrame([(int(h),) for h in present], ["url_hash"])
+    bloom.build_update(df)
+    assert bloom.contains_hashes(present).all(), "false negative at P=10"
+
+
+def test_bloom_slice_affine_probe_matches_broadcast(spark, tmp_path):
+    """The slice-affine probe (per-slice parquet blobs, no broadcast) must
+    return exactly the broadcast probe's answers."""
+    import os
+
+    rng = np.random.default_rng(11)
+    present = rng.integers(-(2**62), 2**62, 3000, dtype=np.int64)
+    absent = np.setdiff1d(rng.integers(-(2**62), 2**62, 3000, dtype=np.int64), present)
+    bloom = PartitionedBloom.sized_for(6000, p=1e-3, num_slices=8)
+    df = spark.createDataFrame([(int(h),) for h in present], ["url_hash"])
+    bloom.build_update(df)
+
+    d = str(tmp_path / "bloom")
+    rows = spark.createDataFrame(
+        bloom.to_rows(0),
+        "wave int, slice_id int, num_slices int, bits long, hashes int, blob binary",
+    ).repartition(F.col("slice_id"))
+    rows.write.mode("overwrite").partitionBy("slice_id").parquet(d)
+    slice_paths = {i: os.path.join(d, f"slice_id={i}") for i in range(8)}
+
+    probe_df = spark.createDataFrame(
+        [(int(h),) for h in np.concatenate([present[:500], absent[:500]])], ["url_hash"]
+    )
+    broadcast = {
+        r["url_hash"]: r["m"]
+        for r in bloom.probe_col(probe_df, out_col="m").collect()
+    }
+    sliced = {
+        r["url_hash"]: r["m"]
+        for r in bloom.probe_col(
+            probe_df, out_col="m", slice_paths=slice_paths, broadcast_max_bytes=0
+        ).collect()
+    }
+    assert sliced == broadcast
+    assert all(sliced[int(h)] for h in present[:500])

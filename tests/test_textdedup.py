@@ -1,0 +1,123 @@
+"""Direct unit coverage for the text-dedup operators (round 1 exercised
+them only through the driver battery): exact dedup, MinHash/LSH, the
+hot-bucket guard, near-dup pipeline, SimHash."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from helix_spark.operators.textdedup import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),   # near dup of 1
+    (4, "pack my box with five dozen liquor jugs today"),
+    (5, "completely different content about spark engines"),
+    (6, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").localCheckpoint()
+
+
+def _md5_int60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_exact_dedup_keeper_and_counts(docs):
+    rows = {r["text_fp"]: r for r in exact_dedup(docs).collect()}
+    fp = _md5_int60(DOCS[0][1])
+    assert rows[fp]["keeper_id"] == 1 and rows[fp]["n_copies"] == 3
+    assert len(rows) == 4  # four distinct texts
+
+
+def test_minhash_signature_matches_python(docs):
+    """Component-wise against a pure-Python recomputation (3-shingles)."""
+    sig = {r["doc_id"]: r for r in minhash_signature(docs, k=4).collect()}
+    for doc_id, text in DOCS:
+        toks = [t for t in text.lower().split(" ") if t]
+        shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        ints = [_md5_int60(s) for s in shingles]
+        for i in range(4):
+            a, b = MINHASH_PERMS[i]
+            expect = min(((x % MINHASH_PRIME) * a + b) % MINHASH_PRIME for x in ints)
+            assert sig[doc_id][f"mh{i}"] == expect
+
+
+def test_lsh_pairs_catch_exact_and_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, k=8, bands=4).collect()}
+    assert (1, 2) in pairs and (1, 6) in pairs and (2, 6) in pairs  # identical texts
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares band buckets
+    assert not any(5 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_lsh_hot_bucket_guard_bounds_pairs(spark):
+    """A degenerate corpus (every doc identical) puts all n docs in one
+    bucket per band: uncapped → n(n−1)/2 pairs; capped → star pairs, O(n),
+    while keeping every doc connected to the representative."""
+    n = 60
+    clones = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere again") for i in range(1, n + 1)],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_pairs(clones, k=8, bands=4).count()
+    assert uncapped == n * (n - 1) // 2
+    capped = minhash_lsh_pairs(clones, k=8, bands=4, max_bucket_size=10).collect()
+    assert len(capped) == n - 1  # star: rep(=1) paired with all others
+    assert {r["id_a"] for r in capped} == {1}
+    assert {r["id_b"] for r in capped} == set(range(2, n + 1))
+
+
+def test_near_dup_pipeline_equals_exact_on_candidates(docs):
+    """near_dup_pairs (LSH→exact verify) must agree with corpus-wide exact
+    Jaccard on every pair LSH surfaces, and at this threshold the LSH pass
+    surfaces all qualifying pairs."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard_milli"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    piped = {
+        (r["id_a"], r["id_b"]): r["jaccard_milli"]
+        for r in near_dup_pairs(docs, threshold=0.2).collect()
+    }
+    assert piped == exact
+
+
+def test_simhash_identical_docs_equal_and_matches_python(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(docs, bits=16).collect()}
+    assert out[1] == out[2] == out[6]
+
+    def py_simhash(text, bits=16):
+        toks = [t for t in text.lower().split(" ") if t]
+        ints = [_md5_int60(t) for t in toks]
+        val = 0
+        for i in range(bits):
+            ones = sum(1 for x in ints if (x >> i) & 1)
+            if 2 * ones > len(ints):
+                val += 1 << i
+        return val
+
+    for doc_id, text in DOCS:
+        assert out[doc_id] == py_simhash(text)
+
+
+def test_simhash_near_dups_close_hamming(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(docs, bits=16).collect()}
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[5]).count("1")
+    assert ham_near < ham_far
