@@ -31,9 +31,10 @@ class CrawlConfig:
     # frontier is a ranged LSM (append + manifest-prune, never rewritten):
     # priority range per leaf dir = 2^frontier_range_bits rows
     frontier_range_bits: int = 18
-    # seen anti-join: scan-side semi + broadcast anti while the bloom-positive
-    # set is at most this many rows; shuffle anti-join above it
-    semi_broadcast_max_rows: int = 8_000_000
+    # seen anti-join: scan-side semi + broadcast anti while the candidate
+    # set is at most this many rows AND ≤ seen/8; shuffle anti-join otherwise
+    # (the broadcasts are serial driver collects — see operators/dedup.py)
+    semi_broadcast_max_rows: int = 4_000_000
     # bloom probe: broadcast the whole filter up to this size; above it the
     # probe is slice-affine against the checkpointed per-slice parquet blobs
     bloom_broadcast_max_bytes: int = 64 << 20

@@ -651,16 +651,24 @@ FROM exploded a JOIN exploded b
 """
 
 
+NEAR_DUP_CAP = 16
+
+
 def q_near_dup_pairs(spark, sf):
     """Scale path for near-dup detection: LSH candidates → exact Jaccard
-    verify on candidates only (never corpus-wide quadratic)."""
+    verify on candidates only (never corpus-wide quadratic). The hot-bucket
+    guard is ON (cap 16): the synthetic corpus has ~10 exact copies per
+    distinct text, so uncapped band buckets go quadratic — over-cap buckets
+    emit star pairs to the bucket's min id instead (union-find-equivalent
+    connectivity, O(bucket) output). The oracle reproduces the star rule."""
     from helix_spark.operators.textdedup import near_dup_pairs
 
     docs = _t(spark, sf, "documents")
-    return near_dup_pairs(docs, k=8, bands=4, threshold=0.2)
+    return near_dup_pairs(docs, k=8, bands=4, threshold=0.2, max_bucket_size=NEAR_DUP_CAP)
 
 
-def _sql_near_dup(k: int = 8, bands: int = 4, threshold_milli: int = 200) -> str:
+def _sql_near_dup(k: int = 8, bands: int = 4, threshold_milli: int = 200,
+                  cap: int | None = None) -> str:
     from helix_spark.operators.textdedup import MINHASH_PERMS, MINHASH_PRIME
 
     comps = []
@@ -697,11 +705,26 @@ WITH toks AS (
   SELECT doc_id, {', '.join(comps)} FROM ints
 ), exploded AS (
   {' UNION ALL '.join(band_rows)}
+), {'''sized AS (
+  SELECT band, bucket, COUNT(*) AS n, MIN(doc_id) AS rep
+  FROM exploded GROUP BY 1, 2
 ), cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM exploded a
+    JOIN sized s ON s.band = a.band AND s.bucket = a.bucket AND s.n <= ''' + str(cap) + '''
+    JOIN exploded b ON b.band = a.band AND b.bucket = a.bucket AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT s.rep AS id_a, e.doc_id AS id_b
+    FROM exploded e
+    JOIN sized s ON s.band = e.band AND s.bucket = e.bucket AND s.n > ''' + str(cap) + '''
+    WHERE e.doc_id <> s.rep
+  )
+)''' if cap is not None else '''cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM exploded a JOIN exploded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), sh AS (
+)'''}, sh AS (
   SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM sh_arr
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
@@ -814,7 +837,7 @@ ORACLE: dict[str, str] = {
     "embedding_label_stats": SQL_EMB_LABEL_STATS,
     "simhash": _sql_simhash(),
     "minhash_lsh_pairs": _sql_lsh_pairs(),
-    "near_dup_pairs": _sql_near_dup(),
+    "near_dup_pairs": _sql_near_dup(cap=NEAR_DUP_CAP),
     # lsh_ann_topk / image_decode_stats / payload_verify: rows-only
     # (approximate ANN and binary decode have no SQL-exact twin)
 }

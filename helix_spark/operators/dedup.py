@@ -49,26 +49,31 @@ def anti_join_seen(
     key: str = "url_hash",
     seen_key: str = "key_hash",
     prune_buckets: bool = False,
-    semi_broadcast_max_rows: int = 8_000_000,
+    semi_broadcast_max_rows: int = 4_000_000,
     maybe_rows: int | None = None,
+    seen_rows: int | None = None,
 ) -> DataFrame:
     """candidates → subset whose ``key`` hash is NOT in the seen table
     (seen table column: ``seen_key``).
 
-    The exact check NEVER SHUFFLES THE SEEN TABLE. When the bloom-positive
-    set is small (``maybe_rows`` ≤ ``semi_broadcast_max_rows`` — the steady
-    state: bloom routes ~all novel URLs around this path), the join runs as
-    scan-side semi + broadcast anti:
+    The exact check avoids shuffling a large seen table. When the
+    candidate set is BOTH small in absolute terms (``maybe_rows`` ≤
+    ``semi_broadcast_max_rows``) and small RELATIVE to the seen table
+    (maybe ≤ seen/8 — the steady state at 10^10 seen URLs), the join runs
+    as scan-side semi + broadcast anti:
 
         hits = seen ⋉ broadcast(maybe_keys)   -- one columnar scan of seen,
                                               -- zero shuffle of 10^10 rows
         out  = maybe ▷ broadcast(hits)        -- hits ≤ |maybe|, tiny
 
     An anti-join is insensitive to right-side duplicates, so no distinct on
-    either side. Above the threshold (giant backfills) it falls back to a
-    plain shuffle anti-join. At true 10^10 scale the residual cost is one
-    single-column scan of `seen` per wave; an Iceberg backend upgrades this
-    to a storage-partitioned join (tables.py module docstring seam).
+    either side. Outside that regime (giant backfill waves, young crawls
+    where seen is comparable to the batch) a plain shuffle anti-join is
+    strictly better: the two broadcasts are serial driver collects that
+    anti-scale with thread count, while the shuffle is fully parallel. At
+    true 10^10 scale the semi path's residual cost is one single-column
+    scan of `seen` per wave; an Iceberg backend upgrades this to a
+    storage-partitioned join (tables.py module docstring seam).
 
     ``prune_buckets`` additionally restricts the seen READ to the buckets
     the candidates hash into — worth it only for small, skewed candidate
@@ -98,7 +103,12 @@ def anti_join_seen(
         survivors = maybe
     else:
         seen_keys = seen.select(F.col(seen_key).alias(key))
-        if maybe_rows is not None and maybe_rows <= semi_broadcast_max_rows:
+        semi_ok = (
+            maybe_rows is not None
+            and maybe_rows <= semi_broadcast_max_rows
+            and (seen_rows is None or maybe_rows * 8 <= seen_rows)
+        )
+        if semi_ok:
             hits = seen_keys.join(F.broadcast(maybe.select(key)), on=key, how="left_semi")
             survivors = maybe.join(F.broadcast(hits), on=key, how="left_anti")
         else:

@@ -84,7 +84,12 @@ def minhash_lsh_pairs(
     O(bucket) while preserving the connectivity a union-find dedup pass
     needs (all members still land in one component). None = exact all-pairs
     (the oracle-checked default)."""
-    sig = minhash_signature(docs, text_col, id_col, k, shingle_n)
+    # localCheckpoint the (tiny: one row per doc) signature table: the band
+    # explosion references it 4+ times and the bucket SELF-join squares the
+    # tree — without truncation Catalyst re-inlines the md5/shingle
+    # transform forest into every branch and plan compilation alone
+    # explodes (observed: minutes at 5k docs with the bucket-cap variant).
+    sig = minhash_signature(docs, text_col, id_col, k, shingle_n).localCheckpoint()
     rows_per_band = k // bands
     buckets = []
     for b in range(bands):
@@ -173,10 +178,25 @@ def near_dup_pairs(
     this bounds the exact stage to the LSH candidate set, which is the only
     shape that survives 100 TB. Deterministic (LSH buckets are md5-derived),
     so a SQL oracle reproduces it exactly."""
-    cand = minhash_lsh_pairs(docs, text_col, id_col, k, bands, shingle_n, max_bucket_size)
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),
+    cand = minhash_lsh_pairs(
+        docs, text_col, id_col, k, bands, shingle_n, max_bucket_size
+    ).localCheckpoint()  # small pair list; truncate before the shingle joins
+    # exact verify touches ONLY candidate docs: prune the shingle explode to
+    # ids that appear in a candidate pair (broadcast semi — candidates are
+    # tiny relative to the corpus at scale) and materialize it once instead
+    # of re-running the explode for each side of the pair join + the sizes
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),
+        )
+        .localCheckpoint()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "sh")

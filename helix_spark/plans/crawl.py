@@ -266,11 +266,13 @@ class CrawlEngine:
             "key",
             F.when(is_bad, F.col("raw")).otherwise(F.col("canonical_url")),
         ).withColumn("key_hash", F.xxhash64(F.col("key")))
-        # slim before materialization: raw/resolved are folded into `key`;
-        # every byte dropped here is saved in the dedup shuffle, the rank
-        # shuffle, two checkpoints, and three table writes
+        # slim before materialization: raw/resolved are folded into `key`,
+        # and canonical_url is dropped entirely (key == canonical_url for
+        # every non-bad row — frontier/report reads use key); every byte
+        # dropped here is saved in the dedup shuffle, the rank shuffle, two
+        # checkpoints, and three table writes
         enriched = enriched.select(
-            "key", "key_hash", "category", "url_status", "canonical_url",
+            "key", "key_hash", "category", "url_status",
             "host", "parent_url", "parent_host", "is_extracted", "status_pre",
             "ctype_pre", "size_pre", "is_internal", "parent_priority", "seq",
         )
@@ -290,12 +292,22 @@ class CrawlEngine:
             deduped, self.wh, self.bloom, key="key_hash",
             semi_broadcast_max_rows=cfg.semi_broadcast_max_rows,
             maybe_rows=n_batch,
+            # every admitted row lands in seen, so the counter IS the seen
+            # row count — free relative-size signal for the join strategy
+            seen_rows=self.counter,
         )
+        # materialize ONCE before ranking: repartitionByRange SAMPLES its
+        # child, so an unmaterialized input would run the dedup aggregate +
+        # seen join twice (sampling pass + shuffle pass) — measured 42 s of
+        # the 47 s rank phase on 2M-row waves. The rank's own window is NOT
+        # re-checkpointed after: re-running an in-partition sort over the
+        # range-partitioned checkpoint is cheaper than a third
+        # materialization for the handful of downstream consumers.
+        fresh = fresh.localCheckpoint()
         t2 = time.time()
         fresh, counts = with_global_rank(
             fresh, ["parent_priority", "seq"], rank_col="priority", offset=self.counter
         )
-        fresh = fresh.localCheckpoint()
         t3 = time.time()
         if self.verbose:
             print(
@@ -333,7 +345,7 @@ class CrawlEngine:
             F.lit(wave).alias("wave"),
         )
         frontier_rows = ok.select(
-            F.col("canonical_url").alias("url"),
+            F.col("key").alias("url"),  # key == canonical_url for 'ok' rows
             F.col("key_hash").alias("url_hash"),
             "host", "parent_url", "parent_host", "is_extracted",
             "status_pre", "ctype_pre", "size_pre", "is_internal", "priority",
@@ -701,32 +713,45 @@ class CrawlEngine:
                      avg_load_ms: float | None = None) -> None:
         wh, cfg = self.wh, self.cfg
         manifests = dict(extra_manifests or {})
+        # The table writes below are independent jobs over already-
+        # checkpointed inputs — submit them concurrently so the scheduler
+        # interleaves their tasks (sequential writes leave most cores idle
+        # between jobs; measured as the commit phase anti-scaling at 32
+        # threads). Each writes its own table dir + manifest file, no shared
+        # state; the atomic commit happens once, after all complete.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs: dict[str, object] = {}
+        pool = ThreadPoolExecutor(max_workers=6)
         if n_frontier is None or n_frontier > 0:
             # append-only ranged LSM: O(new rows); consumed rows are encoded
             # by host_state cursors, fully-dead ranges pruned at compaction
-            manifests["frontier"] = wh.append_ranged(
-                "frontier", frontier.select(FRONTIER_COLS),
-                range_col="priority", range_bits=cfg.frontier_range_bits,
+            jobs["frontier"] = pool.submit(
+                wh.append_ranged, "frontier", frontier.select(FRONTIER_COLS),
+                "priority", cfg.frontier_range_bits,
             )
         # seen/report are LSM append-only (O(new rows) per wave, bucket-pruned
         # reads): hash-uniform updates would touch every bucket of a
         # copy-on-write merge, degenerating to an O(table) rewrite per wave.
         # Readers resolve last-write-wins by wave (read_seen / read_report).
-        dedup_report = report.dropDuplicates(["verified_url"]).withColumn(
-            "wave", F.lit(wave)
+        # No within-wave dedup shuffle is needed: settled keys are all
+        # previously-seen (their own url_hash) while admitted keys passed the
+        # seen anti-join (disjoint), and each side is internally unique
+        # (settled rows are non-redirected so final == self; admitted rows
+        # come out of the first-wins aggregate). Cross-wave duplicates are
+        # the readers' last-write-wins job. Parity tests pin this.
+        wave_report = report.withColumn("wave", F.lit(wave))
+        jobs["report"] = pool.submit(
+            wh.append_bucketed, "report", wave_report, "verified_url", cfg.report_buckets
         )
-        manifests["report"] = wh.append_bucketed(
-            "report", dedup_report, key="verified_url", num_buckets=cfg.report_buckets
-        )
-        dedup_seen = seen.dropDuplicates(["key_hash"])
-        manifests["seen"] = wh.append_bucketed(
-            "seen", dedup_seen, key="key", num_buckets=cfg.seen_buckets
+        jobs["seen"] = pool.submit(
+            wh.append_bucketed, "seen", seen, "key", cfg.seen_buckets
         )
         if host_state is not None:
-            manifests["host_state"] = wh.overwrite("host_state", host_state)
+            jobs["host_state"] = pool.submit(wh.overwrite, "host_state", host_state)
         # per-wave counters (Statistics.cs:6-84 / EventBroadcaster analog):
         # one metrics row per wave, derived from this wave's report rows
-        wave_metrics = dedup_report.agg(
+        wave_metrics = wave_report.agg(
             F.lit(wave).alias("wave"),
             F.count("*").alias("report_rows"),
             F.coalesce(
@@ -738,8 +763,14 @@ class CrawlEngine:
             F.lit(batch_count).alias("batch"),
             F.lit(avg_load_ms).cast("double").alias("avg_page_load_ms"),
         )
-        manifests["metrics"] = wh.append("metrics", wave_metrics)
-        manifests.update(self._save_filters(wave))
+        jobs["metrics"] = pool.submit(wh.append, "metrics", wave_metrics)
+        filters_future = pool.submit(self._save_filters, wave)
+        try:
+            for name, fut in jobs.items():
+                manifests[name] = fut.result()
+            manifests.update(filters_future.result())
+        finally:
+            pool.shutdown(wait=True)
         wh.commit(
             wave,
             manifests,

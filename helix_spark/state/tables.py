@@ -209,7 +209,12 @@ class SnapshotWarehouse:
             RANGE, F.shiftright(F.col(range_col).cast("long"), range_bits).cast("long")
         )
         d = self._new_data_dir(name)
-        ranged.repartition(F.col(RANGE)).write.mode("overwrite").partitionBy(
+        # salt the write partitioning: one wave's rows span only 1-2 priority
+        # ranges, and repartition(RANGE) alone would funnel the whole append
+        # through 1-2 write tasks; 8 salted writers per range keeps the file
+        # count bounded (≤8/range/append) while using the cluster
+        salt = F.pmod(F.xxhash64(F.col(range_col)), F.lit(8))
+        ranged.repartition(F.col(RANGE), salt).write.mode("overwrite").partitionBy(
             RANGE
         ).parquet(d)
         ranges: dict[str, list[str]] = {str(k): list(v) for k, v in m.get("ranges", {}).items()}

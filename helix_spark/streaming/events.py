@@ -69,6 +69,62 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+FIRST_SEEN_SCHEMA = (
+    "user_id long, first_event_id long, first_ts timestamp, n_suppressed long"
+)
+
+
+def first_seen_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The crawl's seen-set TryAdd as a CUSTOM stateful streaming operator
+    (applyInPandasWithState): per key, emit the first event ever seen and
+    keep a running count of suppressed duplicates in state. This is the
+    shape dropDuplicates cannot express (it emits nothing for dupes; here
+    the state carries an aggregate across them).
+
+    State per key: (first_event_id, first_ts_epoch, n_total). Emits one row
+    per key per micro-batch in which that key appeared (first_* frozen from
+    the first arrival, n_suppressed monotone) — outputMode='update' shape.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.exists:
+            first_id, first_ts, n = state.get
+        else:
+            first_id, first_ts, n = None, None, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            if first_id is None:
+                first_id = int(pdf["event_id"].iloc[0])
+                first_ts = int(pdf["ts"].iloc[0].value // 1_000_000_000)
+            n += len(pdf)
+        state.update((first_id, first_ts, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "first_event_id": [first_id],
+                "first_ts": [pd.Timestamp(first_ts, unit="s")],
+                "n_suppressed": [n - 1],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FIRST_SEEN_SCHEMA,
+            stateStructType="first_event_id long, first_ts long, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> DataFrame:
     """Drain the stream with trigger(availableNow) into a memory sink and
     return the result as a DataFrame (test/inspection helper)."""
