@@ -37,6 +37,7 @@ HEADLINE = [
     "minhash_signature",
     "ngram_jaccard",
     "near_dup_pairs",
+    "embedding_near_dup",
     "simhash",
     "embedding_topk",
     "exact_dedup",

@@ -38,6 +38,11 @@ class CrawlConfig:
     # bloom probe: broadcast the whole filter up to this size; above it the
     # probe is slice-affine against the checkpointed per-slice parquet blobs
     bloom_broadcast_max_bytes: int = 64 << 20
+    # bloom residency: None = auto (driver-light when the filter exceeds
+    # bloom_broadcast_max_bytes). Driver-light keeps NO slice bytes on the
+    # driver: build/merge/persist run executor-side per slice and the probe
+    # is slice-affine — the 10^10-URL / ~18 GB posture.
+    bloom_driver_light: bool | None = None
     # LSM compaction cadence: rewrite buckets with > max_files leaf dirs
     # every N waves (bounds read amplification on long crawls)
     compact_every: int = 16

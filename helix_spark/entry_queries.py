@@ -573,6 +573,53 @@ SELECT label, COUNT(*) AS n, CAST(SUM(norm2_milli) AS BIGINT) AS sum_norm2_milli
 """
 
 
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs: sign-bit LSH buckets → exact
+    integer-quantized cosine verify on same-bucket candidates (the vector
+    twin of minhash_lsh_pairs; never all-pairs)."""
+    from helix_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold_e2=30, n_planes=4)
+
+
+def _sql_embedding_near_dup(threshold_e2: int = 30, n_planes: int = 4,
+                            quant: int = 100, dim: int = 64) -> str:
+    import math as _m
+
+    from helix_spark.operators.similarity import deterministic_planes
+
+    planes = deterministic_planes(dim, n_planes)
+    qplanes = [[int(_m.floor(p * quant)) for p in row] for row in planes]
+    bucket_terms = []
+    for i, row in enumerate(qplanes):
+        lit = "[" + ", ".join(str(v) for v in row) + "]"
+        bucket_terms.append(
+            f"CASE WHEN list_dot_product(q, {lit}::BIGINT[]) >= 0 THEN {2**i} ELSE 0 END"
+        )
+    t2 = threshold_e2 * threshold_e2
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * {quant}) AS BIGINT)) AS q
+  FROM embeddings
+), tagged AS (
+  SELECT vec_id, q,
+         CAST({' + '.join(bucket_terms)} AS BIGINT) AS bucket,
+         list_dot_product(q, q) AS n2
+  FROM base
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.q, b.q) AS dot, a.n2 AS na, b.n2 AS nb
+  FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_a, id_b,
+       CAST(floor(10000.0 * dot / sqrt(CAST(na * nb AS DOUBLE))) AS BIGINT) AS cos_e4
+FROM pairs
+WHERE dot > 0 AND dot * dot * 10000 >= {t2} * na * nb
+"""
+
+
 def q_simhash(spark, sf):
     from helix_spark.operators.textdedup import simhash64
 
@@ -802,6 +849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_topk": q_embedding_topk,
     "embedding_label_stats": q_embedding_label_centroid_dist,
+    "embedding_near_dup": q_embedding_near_dup,
     "simhash": q_simhash,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "near_dup_pairs": q_near_dup_pairs,
@@ -835,6 +883,7 @@ ORACLE: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_label_stats": SQL_EMB_LABEL_STATS,
+    "embedding_near_dup": _sql_embedding_near_dup(),
     "simhash": _sql_simhash(),
     "minhash_lsh_pairs": _sql_lsh_pairs(),
     "near_dup_pairs": _sql_near_dup(cap=NEAR_DUP_CAP),

@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,6 +57,85 @@ def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[f
             row.append((state >> 32) / 2**31 - 1.0)
         planes.append(row)
     return planes
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold_e2: int = 90, n_planes: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", quant: int = 100,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector twin of
+    MinHash-LSH dedup, and the same scale shape: hyperplane sign-bit
+    buckets → same-bucket self-join (never all-pairs) → exact verify on
+    candidates only.
+
+    EXACT-INTEGER verify so a SQL oracle reproduces it bit-for-bit:
+    embeddings and planes are quantized to ``quant`` units
+    (floor(x·quant) int64); bucketing uses the sign of the INTEGER dot
+    product; a pair qualifies iff
+
+        dot > 0  ∧  dot²·10⁴ ≥ threshold_e2²·|a|²·|b|²
+
+    which is cos ≥ threshold_e2/100 in exact integer arithmetic (no float
+    boundary flakiness; int64-safe: dim·(quant·|x|max)² ≪ 2³¹). The
+    reported cos_e4 recomputes floor(10⁴·dot/√(|a|²·|b|²)) — identical
+    IEEE doubles from identical int inputs on both engines."""
+    planes = deterministic_planes(
+        _dim_of(embeddings, vec_col), n_planes
+    )
+    qplanes = [[int(math.floor(p * quant)) for p in row] for row in planes]
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * quant).cast("long")
+    )
+    bucket = None
+    for i, row in enumerate(qplanes):
+        plane = F.array(*[F.lit(v).cast("long") for v in row])
+        d = F.aggregate(
+            F.zip_with(F.col("__q"), plane, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, v: acc + v,
+        )
+        term = F.when(d >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+        bucket = term if bucket is None else bucket + term
+    norm2 = F.aggregate(
+        F.transform(F.col("__q"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    base = embeddings.select(
+        F.col(id_col), q.alias("__q")
+    ).select(
+        F.col(id_col), F.col("__q"), bucket.alias("__bucket"), norm2.alias("__n2")
+    ).localCheckpoint()  # tiny (one row/vector); truncates the quantize tree
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("__q").alias("__qa"),
+        F.col("__bucket"), F.col("__n2").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__q").alias("__qb"),
+        F.col("__bucket"), F.col("__n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") * 10_000
+               >= F.lit(threshold_e2 * threshold_e2) * F.col("na") * F.col("nb"))
+        )
+    )
+    cos_e4 = F.floor(
+        F.lit(10000.0) * F.col("dot")
+        / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+    ).cast("long")
+    return pairs.select("id_a", "id_b", cos_e4.alias("cos_e4")).distinct()
+
+
+def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
 
 
 def lsh_ann_topk(

@@ -152,11 +152,41 @@ class CrawlEngine:
     def _init_filters(self) -> None:
         cfg = self.cfg
         self.bloom = PartitionedBloom.sized_for(cfg.expected_urls, cfg.bloom_fp_rate, cfg.bloom_slices)
+        total = self.bloom.num_slices * (self.bloom.bits_per_slice // 8)
+        self._bloom_driver_light = (
+            cfg.bloom_driver_light
+            if cfg.bloom_driver_light is not None
+            else total > cfg.bloom_broadcast_max_bytes
+        )
+        if self._bloom_driver_light:
+            # handle-only: no slice bytes on the driver, ever
+            self.bloom = PartitionedBloom(
+                self.bloom.num_slices, self.bloom.bits_per_slice,
+                self.bloom.num_hashes, handle=True,
+            )
         self.bloom.broadcast_max_bytes = cfg.bloom_broadcast_max_bytes
+        self._filters_manifest_pending: str | None = None
+
+    def _bloom_manifest(self) -> dict:
+        return {
+            "bloom_params": {
+                "num_slices": self.bloom.num_slices,
+                "bits": self.bloom.bits_per_slice,
+                "hashes": self.bloom.num_hashes,
+            },
+            "slice_paths": {
+                str(i): p for i, p in (self.bloom.slice_paths or {}).items()
+            },
+        }
 
     def _save_filters(self, wave: int) -> dict[str, str]:
-        # written partitioned by slice_id so the slice-affine probe can load
-        # one slice's blob per task straight from shared storage
+        if self._bloom_driver_light:
+            # merged + persisted executor-side in _ingest_filters; the
+            # manifest was saved there — just link it into this commit
+            m = self._filters_manifest_pending
+            return {"filters_bloom": m} if m else {}
+        # driver mode: write all slices, partitioned by slice_id so the
+        # slice-affine probe can load one slice's blob per task
         bloom_df = self.spark.createDataFrame(
             self.bloom.to_rows(wave),
             "wave int, slice_id int, num_slices int, bits long, hashes int, blob binary",
@@ -167,27 +197,43 @@ class CrawlEngine:
             i: os.path.join(d, f"slice_id={i}") for i in range(self.bloom.num_slices)
         }
         return {
-            "filters_bloom": self.wh._save_manifest(
-                "filters_bloom", {"key": None, "num_buckets": 0, "files": [d]}
-            ),
+            "filters_bloom": self.wh._save_manifest("filters_bloom", self._bloom_manifest()),
         }
 
     def _load_filters(self) -> None:
-        bloom_df = self.wh.read("filters_bloom")
-        if bloom_df is None:
+        cfg = self.cfg
+        m = self.wh._load_manifest("filters_bloom")
+        if m is None:
             self._init_filters()
             return
-        rows = [
-            (r["wave"], r["slice_id"], r["num_slices"], r["bits"], r["hashes"], bytes(r["blob"]))
-            for r in bloom_df.collect()
-        ]
-        self.bloom = PartitionedBloom.from_rows(rows)
-        self.bloom.broadcast_max_bytes = self.cfg.bloom_broadcast_max_bytes
-        m = self.wh._load_manifest("filters_bloom")
-        d = m["files"][0]
-        self.bloom.slice_paths = {
-            i: os.path.join(d, f"slice_id={i}") for i in range(self.bloom.num_slices)
-        }
+        p = m["bloom_params"]
+        paths = {int(i): d for i, d in m["slice_paths"].items()}
+        total = p["num_slices"] * (p["bits"] // 8)
+        self._bloom_driver_light = (
+            cfg.bloom_driver_light
+            if cfg.bloom_driver_light is not None
+            else total > cfg.bloom_broadcast_max_bytes
+        )
+        if self._bloom_driver_light:
+            self.bloom = PartitionedBloom(
+                p["num_slices"], p["bits"], p["hashes"], handle=True
+            )
+        else:
+            # local-FS driver read of the small per-slice blobs; on an
+            # object store this would go through spark.read
+            import pyarrow.parquet as pq
+
+            blobs = []
+            for i in range(p["num_slices"]):
+                if i in paths:
+                    t = pq.read_table(paths[i], columns=["blob"])
+                    blobs.append(t["blob"][0].as_py())
+                else:
+                    blobs.append(bytes(p["bits"] // 8))
+            self.bloom = PartitionedBloom(p["num_slices"], p["bits"], p["hashes"], blobs)
+        self.bloom.slice_paths = paths
+        self.bloom.broadcast_max_bytes = cfg.bloom_broadcast_max_bytes
+        self._filters_manifest_pending = None
 
     # ------------------------------------------------------------- admission
     def _scope_expr(self, canonical, host, parent_host):
@@ -634,9 +680,20 @@ class CrawlEngine:
 
     def _ingest_filters(self, admit_seen: DataFrame) -> None:
         """bloom: every new seen key, built executor-side per slice (numpy,
-        vectorized); the driver only ORs P small blobs. Nothing row-shaped
-        reaches the driver. (No cuckoo maintenance — see _init_filters.)"""
-        self.bloom.build_update(admit_seen.select("key_hash"), hash_col="key_hash")
+        vectorized). Driver mode ORs P small update blobs on the driver;
+        driver-light mode merges with the previous wave's blobs and persists
+        executor-side in the same job — nothing filter-sized (or row-shaped)
+        ever reaches the driver. (No cuckoo maintenance — see _init_filters.)"""
+        if self._bloom_driver_light:
+            out = self.wh._new_data_dir("filters_bloom")
+            self.bloom.merge_update_spark(
+                admit_seen.select("key_hash"), out, hash_col="key_hash"
+            )
+            self._filters_manifest_pending = self.wh._save_manifest(
+                "filters_bloom", self._bloom_manifest()
+            )
+        else:
+            self.bloom.build_update(admit_seen.select("key_hash"), hash_col="key_hash")
 
     # -------------------------------------------------------------- children
     def _collect_admissions(self, renderable: DataFrame, redirected: DataFrame) -> DataFrame:

@@ -56,17 +56,32 @@ def _positions(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
 
 
 class PartitionedBloom:
-    """P slices of an m-bit bloom filter, each covering one hash residue class."""
+    """P slices of an m-bit bloom filter, each covering one hash residue
+    class. Two residency modes:
+
+    - DRIVER mode (default): slice byte arrays live on the driver;
+      build_update collects P small update blobs and ORs them in. Fine up
+      to ~the broadcast threshold.
+    - DRIVER-LIGHT mode (``handle=True``): the driver holds only the
+      parameters and the per-slice parquet paths; building, merging with
+      the previous wave's blobs, and persisting all happen executor-side
+      (merge_update_spark), and probing is slice-affine (_probe_sliced).
+      Nothing filter-sized ever transits the driver — the mode for the
+      10^10-URL / ~18 GB design point."""
 
     def __init__(self, num_slices: int, bits_per_slice: int, num_hashes: int,
-                 slices: list[bytes] | None = None):
+                 slices: list[bytes] | None = None, handle: bool = False):
         self.num_slices = num_slices
         self.bits_per_slice = bits_per_slice
         self.num_hashes = num_hashes
-        self.slices: list[np.ndarray] = (
-            [np.frombuffer(b, dtype=np.uint8).copy() for b in slices]
-            if slices
-            else [np.zeros(bits_per_slice // 8, dtype=np.uint8) for _ in range(num_slices)]
+        self.slices: list[np.ndarray] | None = (
+            None
+            if handle
+            else (
+                [np.frombuffer(b, dtype=np.uint8).copy() for b in slices]
+                if slices
+                else [np.zeros(bits_per_slice // 8, dtype=np.uint8) for _ in range(num_slices)]
+            )
         )
 
     @classmethod
@@ -128,6 +143,52 @@ class PartitionedBloom:
         self.merge(update)
         return update
 
+    def merge_update_spark(self, df: DataFrame, out_dir: str,
+                           hash_col: str = "url_hash") -> dict[int, str]:
+        """DRIVER-LIGHT build+merge+persist, fully executor-side: per slice,
+        set the bits for this wave's hashes, OR with the previous slice blob
+        read straight from ``slice_paths``, and emit the merged blob; the
+        partitionBy write routes each group's single row to its
+        ``slice_id=i/`` dir with NO extra shuffle (applyInPandas output
+        partitions already hold whole groups). Slices with no new hashes
+        keep their previous path (linked, zero IO). Returns the new
+        slice_paths map; the instance's paths are updated in place."""
+        import os
+
+        P, bits, k = self.num_slices, self.bits_per_slice, self.num_hashes
+        prev_paths = {int(s): p for s, p in (self.slice_paths or {}).items()}
+        schema = StructType([
+            StructField("slice_id", IntegerType()),
+            StructField("blob", BinaryType()),
+        ])
+
+        def build_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            sid = int(pdf["__slice"].iloc[0])
+            arr = np.zeros(bits // 8, dtype=np.uint8)
+            h = pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+            pos = _positions(h, k, bits).ravel()
+            np.bitwise_or.at(arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            prev = prev_paths.get(sid)
+            if prev is not None:
+                t = pq.read_table(prev, columns=["blob"])
+                arr |= np.frombuffer(t["blob"][0].as_py(), dtype=np.uint8)
+            return pd.DataFrame({"slice_id": [sid], "blob": [arr.tobytes()]})
+
+        sliced = df.select(
+            F.col(hash_col),
+            F.pmod(F.col(hash_col), F.lit(P)).cast("int").alias("__slice"),
+        )
+        merged = sliced.groupBy("__slice").applyInPandas(build_merge, schema)
+        merged.write.mode("overwrite").partitionBy("slice_id").parquet(out_dir)
+        new_paths = dict(prev_paths)
+        for sub in os.listdir(out_dir):
+            if sub.startswith("slice_id="):
+                new_paths[int(sub.split("=", 1)[1])] = os.path.join(out_dir, sub)
+        self.slice_paths = new_paths
+        return new_paths
+
     # set by the engine after save/load: per-slice parquet dirs of the
     # checkpointed filter table + the broadcast cutover size
     slice_paths: dict[int, str] | None = None
@@ -152,6 +213,8 @@ class PartitionedBloom:
         if broadcast_max_bytes is None:
             broadcast_max_bytes = self.broadcast_max_bytes
         total_bytes = self.num_slices * (self.bits_per_slice // 8)
+        if self.slices is None:  # driver-light handle: sliced probe only
+            return self._probe_sliced(df, hash_col, out_col, slice_paths or {})
         if slice_paths is None or total_bytes <= broadcast_max_bytes:
             spark = df.sparkSession
             bc = spark.sparkContext.broadcast(self.to_dict())
@@ -188,6 +251,9 @@ class PartitionedBloom:
                 res = np.zeros(len(pdf), dtype=bool)
                 for sid, idx in pdf.groupby("__slice", sort=False).indices.items():
                     sid = int(sid)
+                    if sid not in paths:
+                        # slice never written → empty filter → definitely new
+                        continue
                     arr = cache.get(sid)
                     if arr is None:
                         t = pq.read_table(paths[sid], columns=["blob"])

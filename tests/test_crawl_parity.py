@@ -171,6 +171,34 @@ def test_abort_on_seed_redirect(spark, tmp_path):
     assert _engine_order(engine) == oracle.crawl_order
 
 
+def test_driver_light_bloom_parity(spark, tmp_path):
+    """Force the 10^10-posture bloom residency (no driver slice bytes,
+    executor-side merge, slice-affine probe) on a small crawl: seen/report
+    must still match the oracle exactly, and resume must reload the handle."""
+    cfg = CrawlConfig(
+        seeds=["http://host0.test/p/0"], per_host_budget=3, max_waves=60,
+        expected_urls=10_000, bloom_slices=4, seen_buckets=8, report_buckets=8,
+        bloom_driver_light=True,
+    )
+    oracle, engine, outcome = _run_both(spark, tmp_path, cfg, N=45, H=5)
+    assert engine.bloom.slices is None  # never materialized on the driver
+    assert _engine_seen(engine) == oracle.seen
+    assert _engine_report(engine) == oracle.report
+    assert _engine_order(engine) == oracle.crawl_order
+    # resume on the same warehouse: handle reloads from the manifest and a
+    # completed crawl fetches nothing more
+    pages_pd = synthetic.gen_pages_py(45, 5)
+    eng2 = CrawlEngine(
+        spark, cfg, str(tmp_path / "wh"),
+        spark.createDataFrame(pages_pd),
+        spark.createDataFrame(synthetic.gen_assets_py(45, 5, 16)),
+        spark.createDataFrame(synthetic.gen_robots_py(5)),
+    )
+    out2 = eng2.run(resume=True)
+    assert eng2.bloom.slices is None
+    assert out2.total_fetched == 0
+
+
 def test_querystring_parity_sort_query_off(spark, tmp_path):
     """sort_query=False (strict reference-parity mode) with multi-param
     query URLs: the verify store must key URLs under the SAME

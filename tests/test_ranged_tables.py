@@ -66,6 +66,38 @@ def test_bloom_non_power_of_two_slices(spark):
     assert bloom.contains_hashes(present).all(), "false negative at P=10"
 
 
+def test_bloom_driver_light_merge_and_probe(spark, tmp_path):
+    """Handle mode: build+merge+persist executor-side across two waves;
+    the driver never holds slices (slices is None); probe stays exact."""
+    import os
+
+    rng = np.random.default_rng(5)
+    w1 = rng.integers(-(2**62), 2**62, 2000, dtype=np.int64)
+    w2 = rng.integers(-(2**62), 2**62, 2000, dtype=np.int64)
+    absent = np.setdiff1d(
+        rng.integers(-(2**62), 2**62, 2000, dtype=np.int64), np.concatenate([w1, w2])
+    )
+    sized = PartitionedBloom.sized_for(8000, p=1e-3, num_slices=8)
+    bloom = PartitionedBloom(
+        sized.num_slices, sized.bits_per_slice, sized.num_hashes, handle=True
+    )
+    assert bloom.slices is None
+
+    def df_of(h):
+        return spark.createDataFrame([(int(x),) for x in h], ["url_hash"])
+
+    bloom.merge_update_spark(df_of(w1), str(tmp_path / "b1"))
+    bloom.merge_update_spark(df_of(w2), str(tmp_path / "b2"))
+    # wave-2 dirs must be merged (contain wave-1 bits too)
+    probe = df_of(np.concatenate([w1, w2, absent[:1000]]))
+    got = {r["url_hash"]: r["m"] for r in bloom.probe_col(probe, out_col="m").collect()}
+    assert all(got[int(h)] for h in w1), "false negative on wave-1 keys after merge"
+    assert all(got[int(h)] for h in w2), "false negative on wave-2 keys"
+    fp = sum(got[int(h)] for h in absent[:1000]) / 1000
+    assert fp < 0.01, f"fp rate {fp}"
+    assert all(os.path.exists(p) for p in bloom.slice_paths.values())
+
+
 def test_bloom_slice_affine_probe_matches_broadcast(spark, tmp_path):
     """The slice-affine probe (per-slice parquet blobs, no broadcast) must
     return exactly the broadcast probe's answers."""

@@ -110,6 +110,42 @@ def test_lsh_ann_results_come_from_probed_buckets(emb):
     assert all(buckets[r["vec_id"]] in probes for r in got)
 
 
+def test_embedding_near_dup_pairs_exact_on_candidates(emb):
+    """Every emitted pair must pass the exact cosine threshold, share a
+    sign-bit bucket, and agree with a python recomputation; pairs the
+    buckets separate are (by design) not emitted."""
+    from helix_spark.operators.similarity import embedding_near_dup_pairs
+
+    thr = 60
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_e4"]
+        for r in embedding_near_dup_pairs(emb, threshold_e2=thr, n_planes=2).collect()
+    }
+    assert got, "corpus should contain same-bucket pairs above cos 0.6"
+    corpus = dict(_corpus_py())
+    planes = deterministic_planes(DIM, 2)
+    qplanes = [[math.floor(p * 100) for p in row] for row in planes]
+
+    def qv(v):
+        return [math.floor(x * 100) for x in v]
+
+    def bucket(v):
+        b = 0
+        for i, row in enumerate(qplanes):
+            if sum(a * c for a, c in zip(qv(v), row)) >= 0:
+                b |= 1 << i
+        return b
+
+    for (ia, ib), cos_e4 in got.items():
+        a, b = qv(corpus[ia]), qv(corpus[ib])
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        assert bucket(corpus[ia]) == bucket(corpus[ib])
+        assert dot > 0 and dot * dot * 10_000 >= thr * thr * na * nb
+        assert cos_e4 == math.floor(10000.0 * dot / math.sqrt(na * nb))
+
+
 def test_deterministic_planes_stable():
     assert deterministic_planes(4, 2) == deterministic_planes(4, 2)
     a = deterministic_planes(4, 2, seed=1)
