@@ -446,6 +446,45 @@ class CrawlEngine:
             .drop("__rn", "wave")
         )
 
+    def verify_crawled_payloads(
+        self, fetched_images: DataFrame, reference_images: DataFrame,
+        image_id_col=None,
+    ) -> DataFrame:
+        """The input_hint per-row invariant over the crawl's OWN output:
+        every Image-typed, successfully-verified report row's fetched
+        payload must match the reference row — PNG decoded pixels
+        byte-equal, lossy PSNR ≥ 40 dB, caption byte-equal
+        (BASELINE.json input_hint; operators/multimodal.verify_payloads).
+
+        ``fetched_images``/``reference_images``: input_hint-shaped tables
+        (image_id, bytes, w, h, fmt, caption, phash). ``image_id_col``
+        maps a report verified_url → image_id; the default parses the
+        synthetic universe's asset URLs (http://img.cdn.test/im/{k}.png →
+        img{k:08d}). → (image_id, pixels_ok, psnr_db, caption_ok), one row
+        per crawled image."""
+        from helix_spark.operators.multimodal import verify_payloads
+
+        report = self.read_report()
+        if report is None:
+            return verify_payloads(fetched_images.limit(0), reference_images.limit(0))
+        if image_id_col is None:
+            k = F.regexp_extract(F.col("verified_url"), r"/im/(\d+)\.png$", 1)
+            image_id_col = F.when(
+                k != "", F.format_string("img%08d", k.cast("int"))
+            )
+        crawled = (
+            report.filter(
+                (F.col("resource_type") == "Image") & (F.col("status_code") == 200)
+            )
+            .select(image_id_col.alias("image_id"))
+            .filter(F.col("image_id").isNotNull())
+            .distinct()
+        )
+        # no broadcast hint: at scale the crawled-image set is large; AQE
+        # picks broadcast when it is small
+        fetched = fetched_images.join(crawled, on="image_id", how="left_semi")
+        return verify_payloads(fetched, reference_images)
+
     def export_report(self, path: str, fmt: str = "csv") -> int:
         """The reference's user artifact: SQL-queryable SQLite / CSV report
         (README.md:36-38; ReportWriterBlock.cs:111-128). See sinks.py."""

@@ -56,6 +56,50 @@ def test_image_features(spark, images):
     assert all(len(r["feature"].split(",")) == 16 for r in rows)
 
 
+def test_crawl_payload_invariant_end_to_end(spark, tmp_path):
+    """north-star loop closed: crawl the synthetic site, then check the
+    input_hint invariant for every Image resource the crawl verified —
+    fetched payload vs reference row (pixel/PSNR/caption). A corrupted
+    fetch must be caught on exactly the crawled images."""
+    from helix_spark.config import CrawlConfig
+    from helix_spark.plans.crawl import CrawlEngine
+
+    N, H, N_IMG = 60, 6, 16
+    pages = spark.createDataFrame(synthetic.gen_pages_py(N, H))
+    assets = spark.createDataFrame(synthetic.gen_assets_py(N, H, n_images=N_IMG))
+    robots = spark.createDataFrame(synthetic.gen_robots_py(H))
+    imgs = spark.createDataFrame(synthetic.gen_images_py(N_IMG)).localCheckpoint()
+    # seed on host1: host0 pages (i%3==0) have zero assets by construction
+    # (gen_assets emits i%3 rows), host1 pages carry 1-2 captured images
+    cfg = CrawlConfig(
+        seeds=["http://host1.test/p/5"], per_host_budget=3, max_waves=60,
+        expected_urls=10_000, bloom_slices=4, seen_buckets=8, report_buckets=8,
+    )
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "wh"), pages, assets, robots)
+    eng.run()
+
+    crawled_imgs = {
+        r["verified_url"]
+        for r in eng.read_report()
+        .filter((F.col("resource_type") == "Image") & (F.col("status_code") == 200))
+        .collect()
+        if "/im/" in r["verified_url"]
+    }
+    assert crawled_imgs, "the crawl should verify some image assets"
+
+    out = eng.verify_crawled_payloads(imgs, imgs).collect()
+    assert len(out) == len(crawled_imgs)
+    assert all(r["pixels_ok"] and r["caption_ok"] for r in out)
+    assert all(r["psnr_db"] >= 40.0 for r in out)
+
+    corrupted = imgs.withColumn(
+        "caption", F.concat(F.col("caption"), F.lit(" CORRUPT"))
+    )
+    bad = eng.verify_crawled_payloads(corrupted, imgs).collect()
+    assert len(bad) == len(crawled_imgs)
+    assert all(not r["caption_ok"] for r in bad)
+
+
 # ---- localize (UriLocalizationDescription.cs:11-41 fixture rows) ----
 LOCALIZE_CASES = [
     # RemoteHost match → rewrite to start host (lines 30-38)
