@@ -803,6 +803,19 @@ def q_lsh_ann_topk(spark, sf):
     return lsh_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=3, multiprobe=1)
 
 
+def q_ivf_ann_topk(spark, sf):
+    """IVF coarse-quantizer ANN (centroid-bucketed scan, the data-adaptive
+    alternative to hyperplane LSH) — rows-only driver check (iterative
+    float k-means has no SQL-exact twin); recall vs brute force asserted in
+    tests/test_similarity.py::test_ivf_ann_recall_and_determinism."""
+    from helix_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10,
+                        n_centroids=8, nprobe=2)
+
+
 def q_image_decode_stats(spark, sf):
     """Multimodal plumbing on generated payloads (testdata has no images
     table): decode 48 deterministic images, recompute phash — rows-only."""
@@ -854,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "near_dup_pairs": q_near_dup_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "image_decode_stats": q_image_decode_stats,
     "payload_verify": q_payload_verify,
 }
@@ -887,6 +901,6 @@ ORACLE: dict[str, str] = {
     "simhash": _sql_simhash(),
     "minhash_lsh_pairs": _sql_lsh_pairs(),
     "near_dup_pairs": _sql_near_dup(cap=NEAR_DUP_CAP),
-    # lsh_ann_topk / image_decode_stats / payload_verify: rows-only
+    # lsh_ann_topk / ivf_ann_topk / image_decode_stats / payload_verify: rows-only
     # (approximate ANN and binary decode have no SQL-exact twin)
 }

@@ -133,6 +133,82 @@ def embedding_near_dup_pairs(
     return pairs.select("id_a", "id_b", cos_e4.alias("cos_e4")).distinct()
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame, n_centroids: int = 8, n_iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> list[list[float]]:
+    """Deterministic mini-Lloyd's for an IVF coarse quantizer: seed
+    centroids are LCG-picked corpus vectors (no RNG state), then
+    ``n_iters`` assignment/mean rounds as DataFrame aggregations. Only the
+    k×dim centroid matrix ever reaches the driver — assignment and means
+    are distributed (posexplode over centroid literals → min_by → groupBy
+    avg on F.aggregate sums)."""
+    n = embeddings.count()
+    state, picks = seed, set()
+    while len(picks) < n_centroids:
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+        picks.add(state % n)
+    # rank corpus rows deterministically by id to index the picks
+    w = Window.orderBy(id_col)
+    ranked = embeddings.withColumn("__r", F.row_number().over(w) - 1)
+    rows = ranked.filter(F.col("__r").isin(*[int(p) for p in picks])).orderBy("__r").collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in rows]
+
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), dvec.alias("__v")).localCheckpoint()
+    dim = len(centroids[0])
+    for _ in range(n_iters):
+        assigned = base.withColumn("__c", _nearest_centroid_col(F.col("__v"), centroids))
+        sums = assigned.groupBy("__c").agg(
+            F.count("*").alias("__n"),
+            *[
+                F.sum(F.element_at(F.col("__v"), i + 1)).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        for r in sums:
+            centroids[r["__c"]] = [r[f"__s{i}"] / r["__n"] for i in range(dim)]
+    return centroids
+
+
+def _nearest_centroid_col(v, centroids: list[list[float]]):
+    """argmin ||v - c||² as a column expr: min_by over a posexploded-free
+    array of (dist, idx) structs — pure JVM."""
+    structs = []
+    for ci, c in enumerate(centroids):
+        carr = _lit_array(c)
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(ci).alias("i")))
+    return F.array_min(F.array(*structs)).getField("i")
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    centroids: list[list[float]] | None = None, n_centroids: int = 8,
+    nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k (the centroid-bucketed alternative to
+    hyperplane LSH): assign the corpus to its nearest coarse centroid, scan
+    only the ``nprobe`` centroids closest to the query. At scale the corpus
+    is written partitioned by centroid id, so the probe reads nprobe
+    partitions — same pruned-scan shape as the LSH variant, but
+    data-adaptive. Recall vs brute force is asserted in tests."""
+    if centroids is None:
+        centroids = ivf_train_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = embeddings.withColumn("__c", _nearest_centroid_col(dvec, centroids))
+    qd = sorted(
+        (sum((a - b) ** 2 for a, b in zip(query_vec, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    probe = [i for _, i in qd[:nprobe]]
+    cand = assigned.filter(F.col("__c").isin(*probe)).drop("__c")
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
     row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"])

@@ -146,6 +146,31 @@ def test_embedding_near_dup_pairs_exact_on_candidates(emb):
         assert cos_e4 == math.floor(10000.0 * dot / math.sqrt(na * nb))
 
 
+def test_ivf_ann_recall_and_determinism(emb):
+    """IVF variant: centroid training is deterministic; recall@10 vs brute
+    force improves with nprobe and is usable at nprobe=2; nprobe=all is
+    exact."""
+    from helix_spark.operators.similarity import ivf_ann_topk, ivf_train_centroids
+
+    c1 = ivf_train_centroids(emb, n_centroids=8)
+    c2 = ivf_train_centroids(emb, n_centroids=8)
+    assert c1 == c2
+
+    exact = {r["vec_id"] for r in brute_force_topk(emb, QUERY, k=10).collect()}
+
+    def recall(nprobe):
+        got = {
+            r["vec_id"]
+            for r in ivf_ann_topk(emb, QUERY, k=10, centroids=c1, nprobe=nprobe).collect()
+        }
+        return len(exact & got) / 10.0
+
+    r2, r4, r8 = recall(2), recall(4), recall(8)
+    assert r2 >= 0.5, f"nprobe=2 recall unusable: {r2}"
+    assert r8 == 1.0, "probing every centroid must be exact"
+    assert r2 <= r4 <= r8
+
+
 def test_deterministic_planes_stable():
     assert deterministic_planes(4, 2) == deterministic_planes(4, 2)
     a = deterministic_planes(4, 2, seed=1)
