@@ -534,6 +534,60 @@ class CrawlEngine:
                           n_frontier=n_frontier)
         return sum(counts.values())
 
+    def enqueue_urls(self, urls: DataFrame) -> int:
+        """Mid-crawl URL feed ingestion — a crawl discovers its input over
+        time (new seed lists, sitemap drops, a readStream of URLs via
+        foreachBatch: streaming/events.seed_feed_query). URLs pass the FULL
+        admission pipeline (canonicalize, robots, first-wins dedup, bloom +
+        exact seen check), so already-crawled or already-queued URLs are
+        dropped; fresh ones enter the frontier with priorities above
+        everything queued (the global counter only grows, preserving the
+        cursor model's prefix property). One atomic snapshot per call; safe
+        between run() calls and across resume. Returns admitted count."""
+        head = self.wh.head_commit()
+        if head and self.counter == 0:
+            # engine constructed fresh against an existing warehouse
+            self.counter = head["metrics"].get("counter", 0)
+            self.live = head["metrics"].get("live", 0)
+        if self.bloom is None:
+            self._load_filters()
+        wave = (head["wave"] + 1) if head else 0
+        items = urls.select(
+            F.col("url").alias("raw"),
+            F.col("url").alias("resolved"),
+            F.col("url").alias("parent_url"),
+            F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("parent_host"),
+            F.lit(True).alias("is_extracted"),
+            F.lit(0).alias("status_pre"),
+            F.lit(None).cast("string").alias("ctype_pre"),
+            F.lit(None).cast("long").alias("size_pre"),
+            F.lit(True).alias("is_internal_admit"),
+            F.xxhash64(F.col("url")).alias("parent_priority"),
+            F.lit(0).cast("int").alias("seq"),
+        )
+        for f in ADMIT_SCHEMA.fields:
+            items = items.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        frontier, report, seen, counts, n_frontier = self.admit(items, wave)
+        self._ingest_filters(seen)
+        self.counter += sum(counts.values())
+        self.live += n_frontier
+        # register the new hosts so cursor-based range pruning stays exact
+        hs = self.wh.read("host_state")
+        if hs is not None:
+            new_hosts = (
+                frontier.select("host").distinct()
+                .join(hs.select("host"), on="host", how="left_anti")
+                .select(
+                    "host",
+                    F.lit(0).alias("next_allowed_wave"),
+                    F.lit(-1).cast("long").alias("cursor"),
+                )
+            )
+            hs = hs.unionByName(new_hosts)
+        self._commit_wave(wave, frontier, report, seen, hs, 0, counts,
+                          n_frontier=n_frontier)
+        return sum(counts.values())
+
     # ------------------------------------------------------------- wave body
     def run(self, resume: bool = False) -> CrawlOutcome:
         cfg, wh, spark = self.cfg, self.wh, self.spark

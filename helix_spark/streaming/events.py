@@ -69,6 +69,26 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def seed_feed_query(engine, urls_stream: DataFrame, checkpoint_dir: str):
+    """Continuous seed ingestion into a crawl: each micro-batch of a URL
+    stream (column ``url``) is admitted through the engine's full pipeline
+    (CrawlEngine.enqueue_urls — dedup vs seen, robots, bloom), committing
+    one warehouse snapshot per batch. Drive the crawl by alternating
+    engine.run(resume=True) with the stream's progress, or drain a backlog
+    with trigger(availableNow)."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            engine.enqueue_urls(batch_df.select("url"))
+
+    return (
+        urls_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 FIRST_SEEN_SCHEMA = (
     "user_id long, first_event_id long, first_ts timestamp, n_suppressed long"
 )
