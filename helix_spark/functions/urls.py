@@ -118,6 +118,36 @@ def resolve_url_py(raw: str | None, parent: str | None) -> str | None:
     return origin + pdir + raw
 
 
+def resolve_url_col(href, parent):
+    """Column-expression twin of resolve_url_py (third implementation next
+    to the pandas resolve_urls_vec — all three are pinned against each
+    other in tests/test_extract.py). Keeps link resolution inside
+    whole-stage codegen: no Python/Arrow in the extraction hot path."""
+    from pyspark.sql import functions as F
+
+    h = F.trim(href)
+    m_scheme = h.rlike(_SCHEME_RE)  # already ^-anchored
+    parent_ok = F.coalesce(parent.rlike(_ABS_RE), F.lit(False))
+    scheme = F.regexp_extract(parent, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+    authority = F.regexp_extract(parent, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1)
+    ppath = F.regexp_extract(parent, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    origin = F.concat(scheme, F.lit("://"), authority)
+    nofrag = F.substring_index(parent, "#", 1)
+    noquery = F.substring_index(nofrag, "?", 1)
+    pdir = F.regexp_replace(ppath, r"[^/]*$", "")
+    pdir = F.when(pdir.startswith("/"), pdir).otherwise(F.concat(F.lit("/"), pdir))
+    return (
+        F.when(h.isNull() | (h == ""), F.lit(None).cast("string"))
+        .when(m_scheme, h)
+        .when(~parent_ok, F.lit(None).cast("string"))
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.startswith("#"), F.concat(nofrag, h))
+        .when(h.startswith("?"), F.concat(noquery, h))
+        .otherwise(F.concat(origin, pdir, h))
+    )
+
+
 def canonicalize_url_py(
     raw: str | None, parent: str | None = None, sort_query: bool = True
 ) -> tuple[str | None, int]:

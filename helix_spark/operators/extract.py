@@ -125,6 +125,36 @@ _EXTRACT_SCHEMA = StructType(
 )
 
 
+# single-capture-group variant for the JVM path: group 1 keeps the quotes
+# (regexp_extract_all takes ONE group index); stripped with substring after
+_HREF_RE_JVM = r"""(?is)<a\b[^>]*?\bhref\s*=\s*("[^"]*"|'[^']*')"""
+
+
+def extract_links_jvm(pages_df: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """JVM-only link extraction: regexp_extract_all + posexplode + the
+    column-expression resolver (functions/urls.resolve_url_col). Same rows
+    and document order as the pandas ``extract_links`` (pinned against it
+    and against the oracle's extract_hrefs_py in tests/test_extract.py),
+    but stays inside whole-stage codegen — no Python workers, no Arrow
+    transfer of page HTML. This is the crawl engine's hot path; the pandas
+    variant remains as the cross-check and the UDF pattern exemplar."""
+    from helix_spark.functions.urls import resolve_url_col
+
+    quoted = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE_JVM), 1)
+    hrefs = F.transform(quoted, lambda s: F.substring(s, 2, F.length(s) - 2))
+    hrefs = F.filter(
+        hrefs,
+        lambda h: (F.trim(h) != "") & ~F.lower(F.trim(h)).startswith("javascript:"),
+    )
+    exploded = pages_df.select(
+        *pages_df.columns, F.posexplode(hrefs).alias("seq", "href")
+    )
+    return exploded.withColumn(
+        "resolved_url", resolve_url_col(F.col("href"), F.col(url_col))
+    ).drop(html_col)
+
+
 def extract_links(pages_df: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
     """pages(url, html, ...) → one row per extracted anchor:
     (url_col…, href, resolved_url, seq). seq is document order, offset by the
@@ -138,7 +168,10 @@ def extract_links(pages_df: DataFrame, url_col: str = "url", html_col: str = "ht
             if len(found) == 0:
                 yield pd.DataFrame(columns=[*in_cols, "href", "resolved_url", "seq"])
                 continue
-            href = found[0].fillna(found[1])
+            # pandas extractall yields NaN (not "") for an EMPTY capture —
+            # without the final fillna a page containing href="" crashed the
+            # whole batch (caught by the three-way parity test)
+            href = found[0].fillna(found[1]).fillna("")
             keep = (href.str.strip() != "") & ~href.str.strip().str.lower().str.startswith("javascript:")
             href = href[keep]
             idx = href.index.get_level_values(0)

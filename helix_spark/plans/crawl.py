@@ -65,7 +65,7 @@ from helix_spark.functions.urls import (
     canonicalize_url_py,
 )
 from helix_spark.operators.dedup import anti_join_seen, first_wins_in_batch
-from helix_spark.operators.extract import extract_links
+from helix_spark.operators.extract import extract_links_jvm
 from helix_spark.operators.politeness import (
     STATUS_ROBOTS_DISALLOWED,
     next_host_state,
@@ -834,7 +834,9 @@ class CrawlEngine:
         )
 
         to_render = pages.join(self.pages_html, on="final_url", how="inner")
-        links = extract_links(to_render, url_col="final_url", html_col="html")
+        # JVM extraction (regexp_extract_all + column-expr resolver): no
+        # Python workers or Arrow transfer of page HTML in the hot path
+        links = extract_links_jvm(to_render, url_col="final_url", html_col="html")
         links = links.join(asset_counts, on="final_url", how="left").withColumn(
             "__offset", F.coalesce(F.col("__n_assets"), F.lit(0))
         )

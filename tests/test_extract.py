@@ -104,3 +104,39 @@ def test_extract_links_spark(spark):
     assert [r["seq"] for r in rows] == list(range(6))
     assert rows[0]["resolved_url"] == "http://www.sanity.com"
     assert rows[4]["resolved_url"] == "http://www.helix.com/without-leading-slash"
+
+
+def test_extract_links_jvm_equals_pandas_and_py(spark):
+    """The three extraction/resolution implementations (JVM column exprs —
+    the hot path; pandas UDF; plain python — the oracle) must agree on the
+    fixture corpus, skip rules included, and on a slice of the synthetic
+    universe."""
+    from helix_spark.operators.extract import extract_links_jvm
+    from helix_spark.sources import synthetic
+
+    skip_html = (
+        '<html><body><a href="">e</a><a href="   ">w</a>'
+        '<a href="javascript:x()">j</a><a href="JavaScript:Y()">J</a>'
+        "<a>none</a><a href='/single-quoted'>s</a></body></html>"
+    )
+    pages = [(BASE + "/page", SIX_ANCHOR_HTML), (BASE + "/empty", "<html></html>"),
+             (BASE + "/d1/d2/skips", skip_html)]
+    pages += [
+        (r["url"], r["html"])
+        for r in synthetic.gen_pages_py(40, 4).to_dict("records")
+        if r["html"]
+    ]
+    df = spark.createDataFrame(pages, ["url", "html"])
+
+    def key(rows):
+        return sorted((r["url"], r["seq"], r["href"], r["resolved_url"]) for r in rows)
+
+    jvm = key(extract_links_jvm(df).collect())
+    pdu = key(extract_links(df).collect())
+    assert jvm == pdu
+    want = sorted(
+        (u, i, h, resolve_url_py(h, u))
+        for u, html in pages
+        for i, h in enumerate(extract_hrefs_py(html))
+    )
+    assert jvm == want
