@@ -10,11 +10,17 @@ batch selector:
   has no robots support).
 - crawl-delay gate: host_state.next_allowed_wave ≤ current wave (logical
   clock — no wall-clock, tests stay deterministic).
-- per-host budget: top-k per host by priority. SKEW-SAFE two-phase top-k:
-  phase 1 windows over (host, salt = pmod(url_hash, S)) and keeps k per
-  salt — a hot host's frontier rows are spread over S partitions instead of
-  one giant window partition; phase 2 windows over host on the ≤ S·k
-  survivors for the EXACT top-k. AQE skew-join handles residual imbalance.
+- per-host budget: top-k per host by priority, SKEW-SAFE in two layers:
+  Spark's WindowGroupLimit rule caps rows shipped per MAP partition at k,
+  and an explicit salted phase 1 (window over (host, pmod(url_hash, S)),
+  keep k per salt) bounds what any single REDUCE task sees for a hot host
+  at S·k rows — phase 2 then takes the EXACT top-k per host over those
+  survivors. Without the salt phase, a host with 10^7 live rows across
+  thousands of map partitions funnels ≤ P·k rows into ONE reduce task;
+  with it, the straggler is capped independent of frontier size. The salt
+  key is url_hash (already computed, uniform), so the phase-1 result is
+  deterministic and the final top-k is exactly the unsalted answer
+  (priorities are globally unique — total order, no tie ambiguity).
 """
 
 from __future__ import annotations
@@ -59,8 +65,9 @@ def select_batch(
     always a priority PREFIX. One number per host — ``cursor`` = the max
     priority ever batched — fully encodes consumption: a frontier row is
     live iff priority > cursor[host]. Selection is a broadcast join +
-    filter + top-k window over the append-only frontier; nothing is ever
-    anti-joined or rewritten."""
+    filter + salted two-phase top-k window over the append-only frontier;
+    nothing is ever anti-joined or rewritten (module docstring for the
+    skew story)."""
     if host_state is not None:
         f = frontier.join(F.broadcast(host_state), on="host", how="left")
         live = f.filter(F.col("priority") > F.coalesce(F.col("cursor"), F.lit(-1)))
@@ -70,11 +77,22 @@ def select_batch(
     else:
         eligible = frontier
 
-    # Spark's WindowGroupLimit rule already runs a PARTIAL top-k per input
-    # partition before the shuffle (visible as `WindowGroupLimit ... Partial`
-    # in the physical plan), which is exactly the salt-phase a hand-rolled
-    # two-phase window would add — but without the second shuffle. A hot
-    # host therefore ships at most per_host_budget rows per map partition.
+    if salt_partitions and salt_partitions > 1:
+        # phase 1: per-(host, salt) top-k. WindowGroupLimit's partial
+        # pushdown caps each MAP partition's output at k; the salted
+        # partitioning caps each REDUCE task at k too. The true per-host
+        # top-k rows are a subset of the per-salt top-k union, so phase 2
+        # is exact.
+        w1 = Window.partitionBy("host", "__salt").orderBy("priority")
+        eligible = (
+            eligible.withColumn(
+                "__salt", F.pmod(F.col("url_hash"), F.lit(salt_partitions)).cast("int")
+            )
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= per_host_budget)
+            .drop("__salt", "__r1")
+        )
+    # phase 2: exact top-k per host over ≤ S·k survivors per host
     w = Window.partitionBy("host").orderBy("priority")
     return (
         eligible.withColumn("__rank", F.row_number().over(w))

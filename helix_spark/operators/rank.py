@@ -3,61 +3,115 @@ IncrementalIdGenerator (/root/reference/Bot/Business/IncrementalIdGenerator.cs:1
 
 ``monotonically_increasing_id`` is not deterministic across runs and a global
 ``row_number() OVER (ORDER BY ...)`` funnels everything through ONE task.
-This primitive stays entirely JVM-side (an earlier mapInPandas version moved
-every row through Python/Arrow — it flattened N→4N scaling):
+Earlier designs used repartitionByRange (whose sampler re-runs the child
+plan) plus separate count jobs — three scans and two materializations per
+call. This version does the whole rank in ONE job and ONE materialization:
 
-1. range-repartition by the order columns (distributed, deterministic)
-2. count rows per range partition (small collect: P longs)
-3. rank = row_number() windowed WITHIN each range partition + that
-   partition's cumulative offset (a when-chain over ≤P literals)
+1. bucket rows by driver-supplied ordered ``boundaries`` over the primary
+   order column (a monotone bucketing — ANY boundary choice yields the same
+   final ranks, boundaries only affect load balance, so callers may derive
+   them from cheap approximations like a previous phase's
+   percentile_approx, or an analytic grid for hash-distributed keys)
+2. row_number WITHIN each bucket (window partitioned by bucket — P-way
+   parallel, never a global single-task sort)
+3. EXACT per-bucket row counts ride an Observation on the same job
+4. rank = local_rank − 1 + cumulative bucket offset, attached as a lazy
+   projection over the checkpointed result (zero extra jobs/shuffles)
 
-Two distributed passes, no Python in the data path.
+Determinism: exact iff ``order_cols`` is a total order (include
+tiebreakers). The observed counts are exact, so ranks are bit-identical
+across runs even when approximate boundaries differ between runs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+from pyspark.sql.column import Column
 
 
-def with_global_rank(
+def observed_metrics(obs: Observation) -> dict:
+    """``obs.get`` tolerant of AQE empty-relation propagation: when the
+    observed dataset turns out to be provably EMPTY at runtime, AQE replaces
+    the whole subtree — CollectMetrics node included — with EmptyRelation,
+    and the observation resolves to a schemaless zero-column row that
+    PySpark's row converter rejects. An empty observed row can only mean an
+    empty dataset, so every aggregate equals its zero-row value — callers
+    read with ``.get(name, default)`` (0 for counts, None for avg/percentile)."""
+    try:
+        return obs.get
+    except Exception:
+        jrow = obs._jo.getRow()
+        if jrow is not None and jrow.length() == 0:
+            return {}
+        raise
+
+
+def uniform_hash_boundaries(num_buckets: int) -> list[int]:
+    """Bucket boundaries for a primary key uniform over the full int64 range
+    (e.g. xxhash64 admission keys): an analytic equal-width grid — no data
+    pass needed."""
+    step = 2**64 // num_buckets
+    return [(-(2**63) + i * step) for i in range(1, num_buckets)]
+
+
+def bucketed_global_rank(
     df: DataFrame,
     order_cols: list[str],
+    boundaries: list[int] | None,
     rank_col: str = "priority",
     offset: int = 0,
-    num_partitions: int | None = None,
-) -> tuple[DataFrame, dict[int, int]]:
-    """Add a 0-based dense global rank (plus ``offset``) by ``order_cols``.
-    Returns (df, per-partition row counts — free lineage metrics).
-    Deterministic iff ``order_cols`` is a total order (include tiebreakers)."""
-    spark = df.sparkSession
-    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
-    parted = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+    extra_metrics: dict[str, Column] | None = None,
+) -> tuple[DataFrame, dict[int, int], dict]:
+    """Add a 0-based dense global rank (plus ``offset``) by ``order_cols``
+    in a single job ending in a single localCheckpoint.
+
+    ``order_cols[0]`` must be an integral column; ``boundaries`` is a sorted
+    list of cut points over it (None/[] → one bucket — fine for small
+    inputs). ``extra_metrics`` are additional aggregate Columns to observe
+    during the same pass (e.g. a category count the caller would otherwise
+    pay a separate job for).
+
+    Returns (ranked df backed by the checkpoint, {bucket: exact row count},
+    {extra metric name: value}).
+    """
+    primary = order_cols[0]
+    bounds = sorted(set(int(b) for b in (boundaries or [])))
+    n_buckets = len(bounds) + 1
+    if bounds:
+        pid = None
+        for b in bounds:
+            term = (F.col(primary) > F.lit(b)).cast("int")
+            pid = term if pid is None else pid + term
+    else:
+        pid = F.lit(0)
+
+    obs = Observation()
+    metrics = [
+        F.count_if(F.col("__pid") == i).alias(f"__c{i}") for i in range(n_buckets)
+    ]
+    extra_names = list((extra_metrics or {}).keys())
+    metrics += [(extra_metrics or {})[n].alias(n) for n in extra_names]
+
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    ck = (
+        df.withColumn("__pid", pid.cast("int"))
+        .observe(obs, *metrics)
+        .withColumn("__lr", F.row_number().over(w))
         .localCheckpoint()
     )
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets: dict[int, int] = {}
+    got = observed_metrics(obs)
+    counts = {i: (got.get(f"__c{i}") or 0) for i in range(n_buckets)}
+    off_expr = None
     acc = offset
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    if offsets:
-        off_expr = None
-        for pid, off in offsets.items():
-            cond = F.col("__pid") == pid
-            off_expr = (
-                F.when(cond, F.lit(off)) if off_expr is None else off_expr.when(cond, F.lit(off))
-            )
-        off_expr = off_expr.otherwise(F.lit(offset))
-    else:
-        off_expr = F.lit(offset)
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
-    out = parted.withColumn(
-        rank_col, (F.row_number().over(w) - 1 + off_expr).cast("long")
-    ).drop("__pid")
-    return out, counts
+    for i in range(n_buckets):
+        cond = F.col("__pid") == i
+        off_expr = (
+            F.when(cond, F.lit(acc)) if off_expr is None else off_expr.when(cond, F.lit(acc))
+        )
+        acc += counts[i]
+    off_expr = off_expr.otherwise(F.lit(offset))
+    out = ck.withColumn(
+        rank_col, (F.col("__lr") - 1 + off_expr).cast("long")
+    ).drop("__pid", "__lr")
+    return out, counts, {n: got.get(n) for n in extra_names}

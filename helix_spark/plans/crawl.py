@@ -44,7 +44,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -72,7 +72,11 @@ from helix_spark.operators.politeness import (
     robots_gate,
     select_batch,
 )
-from helix_spark.operators.rank import with_global_rank
+from helix_spark.operators.rank import (
+    bucketed_global_rank,
+    observed_metrics,
+    uniform_hash_boundaries,
+)
 from helix_spark.operators.verify import prepare_pages_store, verify_batch
 from helix_spark.state.bloom import PartitionedBloom
 from helix_spark.state.tables import SnapshotWarehouse
@@ -135,6 +139,12 @@ class CrawlEngine:
             canonicalize_url_py(s, None, cfg.sort_query)[0] for s in cfg.seeds
         ]
         self.bloom: PartitionedBloom | None = None
+        # strategy-only estimate of the next admission's post-dedup
+        # candidate count (see admit docstring); None → shuffle anti-join
+        self._est_candidates: int | None = None
+        # rank-bucket fanout: enough buckets that the per-bucket window
+        # sort spreads over every core with slack for hash imbalance
+        self._rank_buckets = 2 * spark.sparkContext.defaultParallelism
         self.counter = 0
         self.live = 0  # exact frontier live-row count (admitted − consumed)
         self.aborted = False
@@ -245,7 +255,9 @@ class CrawlEngine:
             checks | (F.lower(host) == F.lower(parent_host)), F.lit(False)
         )
 
-    def admit(self, items: DataFrame, wave: int):
+    def admit(self, items: DataFrame, wave: int,
+              boundaries: list[int] | None = None,
+              est_candidates: int | None = None):
         """Unified single-pass admission (CoordinatorBlock.PreprocessNewResources,
         /root/reference/Bot/Block/CoordinatorBlock.cs:235-264):
 
@@ -255,8 +267,25 @@ class CrawlEngine:
         category 'blocked' robots-disallowed (−104, north-rule extension)
         category 'ok'      admitted to the frontier
 
-        One first-wins window + ONE bloom-prefiltered anti-join over all
+        One first-wins aggregate + ONE bloom-prefiltered anti-join over all
         categories (keys are disjoint: raw vs canonical namespaces).
+
+        SINGLE-JOB design: enrichment → dedup → anti-join → bucketed rank
+        run as ONE Spark job ending in ONE localCheckpoint (the round-2
+        shape paid three materializations plus count/sampling jobs — the
+        measured non-scaling fraction at N→4N, all bus-bound block writes).
+        The two driver inputs that used to need their own jobs are now free:
+
+        - ``boundaries``: rank-bucket cut points over ``parent_priority``.
+          Any monotone bucketing yields identical ranks (operators/rank.py),
+          so callers pass a cheap approximation — the wave loop observes
+          percentile_approx(priority) during the verify checkpoint, the
+          bootstrap/feed paths use the analytic uniform-int64 grid (their
+          parent_priority is xxhash64). None → one bucket (seed wave).
+        - ``est_candidates``: ESTIMATED post-dedup candidate count, used
+          only to pick the seen-join strategy (semi-broadcast vs shuffle
+          anti — operators/dedup.py); never affects results. None → shuffle
+          anti (the safe giant-batch default).
 
         → (frontier_rows, report_rows, seen_rows, partition_counts, n_frontier)"""
         cfg = self.cfg
@@ -323,42 +352,32 @@ class CrawlEngine:
             "ctype_pre", "size_pre", "is_internal", "parent_priority", "seq",
         )
 
-        # localCheckpoint materializes the (small) admission batch once and
-        # truncates its plan — every downstream action (bucket collect,
-        # anti-join, rank, three writes) reuses it instead of re-running and
-        # re-analyzing the extract UDF + join + canonicalization tree
         t0 = time.time()
-        enriched = enriched.localCheckpoint()
-        # cheap count on the checkpointed batch: an upper bound on the
-        # bloom-positive set, used to pick the seen-join strategy
-        n_batch = enriched.count()
-        t1 = time.time()
         deduped = first_wins_in_batch(enriched, "key_hash", ["parent_priority", "seq"])
         fresh = anti_join_seen(
             deduped, self.wh, self.bloom, key="key_hash",
             semi_broadcast_max_rows=cfg.semi_broadcast_max_rows,
-            maybe_rows=n_batch,
+            maybe_rows=est_candidates,
             # every admitted row lands in seen, so the counter IS the seen
             # row count — free relative-size signal for the join strategy
             seen_rows=self.counter,
         )
-        # materialize ONCE before ranking: repartitionByRange SAMPLES its
-        # child, so an unmaterialized input would run the dedup aggregate +
-        # seen join twice (sampling pass + shuffle pass) — measured 42 s of
-        # the 47 s rank phase on 2M-row waves. The rank's own window is NOT
-        # re-checkpointed after: re-running an in-partition sort over the
-        # range-partitioned checkpoint is cheaper than a third
-        # materialization for the handful of downstream consumers.
-        fresh = fresh.localCheckpoint()
-        t2 = time.time()
-        fresh, counts = with_global_rank(
-            fresh, ["parent_priority", "seq"], rank_col="priority", offset=self.counter
+        # ONE job, ONE materialization: the bucketed rank's window runs
+        # inside the same job as enrichment/dedup/anti-join, per-bucket
+        # counts + the frontier-insert count ride its Observation, and the
+        # final priority is a lazy projection over the checkpoint — no
+        # separate count jobs, no repartitionByRange sampling pass, no
+        # intermediate block writes (the round-2 admit's non-scaling cost).
+        fresh, counts, extras = bucketed_global_rank(
+            fresh, ["parent_priority", "seq"], boundaries,
+            rank_col="priority", offset=self.counter,
+            extra_metrics={"__ok": F.count_if(F.col("category") == "ok")},
         )
-        t3 = time.time()
+        n_frontier = int(extras["__ok"] or 0)
         if self.verbose:
             print(
-                f"[helix-spark]   admit: enrich={t1 - t0:.1f}s dedup+anti={t2 - t1:.1f}s "
-                f"rank+ckpt={t3 - t2:.1f}s",
+                f"[helix-spark]   admit: single-job rank+ckpt={time.time() - t0:.1f}s "
+                f"rows={sum(counts.values())}",
                 flush=True,
             )
 
@@ -397,9 +416,6 @@ class CrawlEngine:
             "status_pre", "ctype_pre", "size_pre", "is_internal", "priority",
             F.lit(wave).alias("wave_admitted"),
         )
-        # exact frontier-insert count for the driver's live counter —
-        # trivial on the checkpointed `fresh`
-        n_frontier = ok.count()
         return frontier_rows, report_rows, seen_rows, counts, n_frontier
 
     # -------------------------------------------------------------- readers
@@ -526,7 +542,11 @@ class CrawlEngine:
         for f in ADMIT_SCHEMA.fields:
             items = items.withColumn(f.name, F.col(f.name).cast(f.dataType))
         self._init_filters()
-        frontier, report, seen, counts, n_frontier = self.admit(items, wave=0)
+        # bootstrap parent_priority is xxhash64(url) — uniform over int64,
+        # so the rank buckets come from the analytic grid (no data pass)
+        frontier, report, seen, counts, n_frontier = self.admit(
+            items, wave=0, boundaries=uniform_hash_boundaries(self._rank_buckets)
+        )
         self._ingest_filters(seen)
         self.counter += sum(counts.values())
         self.live += n_frontier
@@ -567,7 +587,9 @@ class CrawlEngine:
         )
         for f in ADMIT_SCHEMA.fields:
             items = items.withColumn(f.name, F.col(f.name).cast(f.dataType))
-        frontier, report, seen, counts, n_frontier = self.admit(items, wave)
+        frontier, report, seen, counts, n_frontier = self.admit(
+            items, wave, boundaries=uniform_hash_boundaries(self._rank_buckets)
+        )
         self._ingest_filters(seen)
         self.counter += sum(counts.values())
         self.live += n_frontier
@@ -633,8 +655,7 @@ class CrawlEngine:
                 break
             batch = select_batch(
                 frontier, host_state, wave, cfg.per_host_budget, cfg.salt_partitions
-            ).localCheckpoint()  # truncate window+read lineage
-            _mark("select")
+            )
             verified = verify_batch(batch, self.pages_store)
 
             final_host = F.regexp_extract(F.col("final_url"), _HOST_RE, 1)
@@ -649,20 +670,34 @@ class CrawlEngine:
                     recompute,
                     self._scope_expr(F.col("final_url"), final_host, F.col("parent_host")),
                 ).otherwise(F.col("is_internal")),
-            ).localCheckpoint()
-            _mark("verify")
-
-            stats = verified.agg(
-                F.count("*").alias("n"),
-                F.sum(
-                    (F.col("redirected") & F.col("url").isin(*self.seed_canon)).cast("int")
+            )
+            # ONE materialization for select+verify (round 2 paid two), with
+            # the wave stats AND the admit rank-bucket boundaries observed
+            # during the same pass — no separate agg job. The boundary
+            # quantiles are over the fetched pages' priorities, which is the
+            # parent_priority distribution of this wave's admissions up to
+            # out-degree weighting; rank correctness is boundary-independent
+            # (operators/rank.py), this only balances the rank buckets.
+            obs = Observation()
+            verified = verified.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(
+                    F.col("redirected") & F.col("url").isin(*self.seed_canon)
                 ).alias("seed_redirects"),
                 # avg page-load time over this wave's settled fetches
-                # (README.md:28-29 / StatisticsSnapshot.cs:7 analog) — rides
-                # the existing one-row agg, no extra action
+                # (README.md:28-29 / StatisticsSnapshot.cs:7 analog)
                 F.avg(F.when(~F.col("redirected"), F.col("load_ms"))).alias("avg_load_ms"),
-            ).collect()[0]
-            batch_count = stats["n"]
+                F.percentile_approx(
+                    F.col("priority"),
+                    [i / self._rank_buckets for i in range(1, self._rank_buckets)],
+                    1000,
+                ).alias("rank_bounds"),
+            ).localCheckpoint()
+            batch = verified  # every batch column survives verify_batch
+            stats = observed_metrics(obs)  # {} iff the batch was empty
+            _mark("select+verify")
+            batch_count = stats.get("n") or 0
             if batch_count == 0:
                 # logical-clock tick: every queued host is still delayed
                 wh.commit(wave, {}, metrics={
@@ -673,7 +708,7 @@ class CrawlEngine:
             total_fetched += batch_count
             log_rows = batch.select(F.lit(wave).alias("wave"), "priority", "url")
 
-            if stats["seed_redirects"]:
+            if stats.get("seed_redirects"):
                 # redirect at a seed aborts the crawl (CoordinatorBlock.cs:215-226).
                 # The oracle logs fetches one-by-one in priority order and stops
                 # AT the redirecting seed — truncate the batch log to match.
@@ -715,8 +750,14 @@ class CrawlEngine:
             )
             admissions = self._collect_admissions(renderable, redirected)
             new_frontier, admit_report, admit_seen, counts, n_frontier = self.admit(
-                admissions, wave + 1
+                admissions, wave + 1,
+                boundaries=stats.get("rank_bounds"),
+                est_candidates=self._est_candidates,
             )
+            # next wave's join-strategy estimate: waves are self-similar, and
+            # post-dedup candidates exceed post-anti admissions — pad 4× so
+            # the semi-broadcast path only engages well inside its regime
+            self._est_candidates = max(sum(counts.values()), batch_count) * 4
             _mark("admit")
             self._ingest_filters(admit_seen)
             _mark("filters")
@@ -731,7 +772,7 @@ class CrawlEngine:
             self._commit_wave(
                 wave, new_frontier, all_report, all_seen, hs, batch_count, counts,
                 extra_manifests={"crawl_log": mlog}, n_frontier=n_frontier,
-                avg_load_ms=stats["avg_load_ms"],
+                avg_load_ms=stats.get("avg_load_ms"),
             )
             _mark("commit")
             if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
