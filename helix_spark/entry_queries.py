@@ -573,45 +573,78 @@ SELECT label, COUNT(*) AS n, CAST(SUM(norm2_milli) AS BIGINT) AS sum_norm2_milli
 """
 
 
+# the static ANN/near-dup oracle strings bake plane & centroid literals for
+# THIS dimension; the Spark twins assert the live data matches before running
+EMB_ORACLE_DIM = 64
+EMB_NEAR_DUP_CAP = 40  # sized so sf0.01's biggest buckets exercise the star rule
+
+
+def _assert_emb_dim(emb):
+    d = emb.select(F.size("embedding").alias("d")).first()["d"]
+    if d != EMB_ORACLE_DIM:
+        raise ValueError(
+            f"embeddings dim {d} != {EMB_ORACLE_DIM}: the SQL oracles bake "
+            f"plane/centroid literals for dim {EMB_ORACLE_DIM} — regenerate "
+            f"them (entry_queries EMB_ORACLE_DIM) instead of silently "
+            f"bucketing with wrong-length planes"
+        )
+    return emb
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-dup pairs: sign-bit LSH buckets → exact
     integer-quantized cosine verify on same-bucket candidates (the vector
-    twin of minhash_lsh_pairs; never all-pairs)."""
+    twin of minhash_lsh_pairs; never all-pairs) — with the hot-bucket star
+    cap ON, so the oracle also pins the skew-guard semantics."""
     from helix_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold_e2=30, n_planes=4)
+    emb = _assert_emb_dim(_t(spark, sf, "embeddings"))
+    return embedding_near_dup_pairs(
+        emb, threshold_e2=30, n_planes=4, max_bucket_size=EMB_NEAR_DUP_CAP
+    )
+
+
+def _sql_quant_list(col: str, quant: int) -> str:
+    return f"list_transform({col}::DOUBLE[], x -> CAST(floor(x * {quant}) AS BIGINT))"
+
+
+def _sql_bucket_terms(qplanes: list[list[int]], over: str) -> str:
+    terms = []
+    for i, row in enumerate(qplanes):
+        lit = "[" + ", ".join(str(v) for v in row) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({over}, {lit}::BIGINT[]) >= 0 THEN {2**i} ELSE 0 END"
+        )
+    return " + ".join(terms)
 
 
 def _sql_embedding_near_dup(threshold_e2: int = 30, n_planes: int = 4,
-                            quant: int = 100, dim: int = 64) -> str:
-    import math as _m
+                            quant: int = 100, dim: int = EMB_ORACLE_DIM,
+                            cap: int = EMB_NEAR_DUP_CAP) -> str:
+    from helix_spark.operators.similarity import quantized_planes
 
-    from helix_spark.operators.similarity import deterministic_planes
-
-    planes = deterministic_planes(dim, n_planes)
-    qplanes = [[int(_m.floor(p * quant)) for p in row] for row in planes]
-    bucket_terms = []
-    for i, row in enumerate(qplanes):
-        lit = "[" + ", ".join(str(v) for v in row) + "]"
-        bucket_terms.append(
-            f"CASE WHEN list_dot_product(q, {lit}::BIGINT[]) >= 0 THEN {2**i} ELSE 0 END"
-        )
+    qplanes = quantized_planes(dim, n_planes, quant)
     t2 = threshold_e2 * threshold_e2
     return f"""
 WITH base AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * {quant}) AS BIGINT)) AS q
+  SELECT vec_id, {_sql_quant_list('embedding', quant)} AS q
   FROM embeddings
 ), tagged AS (
   SELECT vec_id, q,
-         CAST({' + '.join(bucket_terms)} AS BIGINT) AS bucket,
+         CAST({_sql_bucket_terms(qplanes, 'q')} AS BIGINT) AS bucket,
          list_dot_product(q, q) AS n2
   FROM base
+), stats AS (
+  SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS rep FROM tagged GROUP BY 1
 ), pairs AS (
+  -- hot-bucket star rule (same as the Spark operator): over-cap buckets
+  -- emit only (rep=min id, member) candidates, small buckets all-pairs
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.q, b.q) AS dot, a.n2 AS na, b.n2 AS nb
-  FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM tagged a
+  JOIN tagged b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN stats s ON s.bucket = a.bucket
+  WHERE s.n <= {cap} OR a.vec_id = s.rep
 )
 SELECT DISTINCT id_a, id_b,
        CAST(floor(10000.0 * dot / sqrt(CAST(na * nb AS DOUBLE))) AS BIGINT) AS cos_e4
@@ -793,27 +826,122 @@ WHERE floor(1000.0 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= {threshold_mi
 
 def q_lsh_ann_topk(spark, sf):
     """Approximate NN via hyperplane-LSH bucket scan with one-flip
-    multiprobe — rows-only driver check (the approximation has no SQL-exact
-    twin); recall@10 vs brute force is asserted in
+    multiprobe. Bucketing is integer-quantized (floor(x·100)), so bucket
+    membership — and therefore the whole result — is SQL-exact-oracled;
+    recall@10 vs brute force is additionally asserted in
     tests/test_similarity.py::test_lsh_ann_recall_multiprobe."""
     from helix_spark.operators.similarity import lsh_ann_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _assert_emb_dim(_t(spark, sf, "embeddings"))
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return lsh_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=3, multiprobe=1)
 
 
+def _sql_lsh_ann_topk(k: int = 10, n_planes: int = 3, quant: int = 100,
+                      dim: int = EMB_ORACLE_DIM) -> str:
+    """Multiprobe=1 probe set IN SQL: the query row's own integer sign-bit
+    bucket plus its n_planes one-flip (xor) neighbors."""
+    from helix_spark.operators.similarity import quantized_planes
+
+    qplanes = quantized_planes(dim, n_planes, quant)
+    probe_cond = " OR ".join(
+        ["t.bucket = qb.qbits"]
+        + [f"t.bucket = xor(qb.qbits, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv, {_sql_quant_list('embedding', quant)} AS qq
+  FROM embeddings WHERE vec_id = 0
+), qb AS (
+  SELECT CAST({_sql_bucket_terms(qplanes, 'qq')} AS BIGINT) AS qbits FROM q
+), tagged AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST({_sql_bucket_terms(qplanes, _sql_quant_list('embedding', quant))} AS BIGINT) AS bucket
+  FROM embeddings WHERE vec_id > 0
+), scored AS (
+  SELECT t.vec_id, list_cosine_similarity(t.v, q.qv) AS cos
+  FROM tagged t, qb, q WHERE {probe_cond}
+)
+SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_e4
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+IVF_ORACLE_K = 8
+IVF_ORACLE_NPROBE = 2
+
+
 def q_ivf_ann_topk(spark, sf):
     """IVF coarse-quantizer ANN (centroid-bucketed scan, the data-adaptive
-    alternative to hyperplane LSH) — rows-only driver check (iterative
-    float k-means has no SQL-exact twin); recall vs brute force asserted in
-    tests/test_similarity.py::test_ivf_ann_recall_and_determinism."""
-    from helix_spark.operators.similarity import ivf_ann_topk
+    alternative to hyperplane LSH) — in the oracle-able configuration:
+    fixed deterministic centroids + integer-quantized assignment and probe
+    selection, so assignment/probe/scoring are all SQL-exact. The TRAINED
+    path (ivf_train_centroids, iterative float k-means — no SQL twin) is
+    covered by tests/test_similarity.py::test_ivf_ann_recall_and_determinism."""
+    from helix_spark.operators.similarity import deterministic_centroids, ivf_ann_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _assert_emb_dim(_t(spark, sf, "embeddings"))
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = deterministic_centroids(EMB_ORACLE_DIM, IVF_ORACLE_K)
     return ivf_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10,
-                        n_centroids=8, nprobe=2)
+                        centroids=cents, nprobe=IVF_ORACLE_NPROBE, quant=100)
+
+
+def _sql_ivf_ann_topk(k: int = 10, n_centroids: int = IVF_ORACLE_K,
+                      nprobe: int = IVF_ORACLE_NPROBE, quant: int = 100,
+                      dim: int = EMB_ORACLE_DIM) -> str:
+    """Integer IVF in SQL: dist(v,c) = |v|² − 2·v·c + |c|² over quantized
+    vectors and literal centroids; assignment = first index achieving the
+    least distance (ties → lowest index, same as the Spark operator); the
+    nprobe probe centroids are ranked by the query's integer distance."""
+    import math as _m
+
+    from helix_spark.operators.similarity import deterministic_centroids
+
+    qcents = [
+        [int(_m.floor(x * quant)) for x in c]
+        for c in deterministic_centroids(dim, n_centroids)
+    ]
+    c2s = [sum(x * x for x in c) for c in qcents]
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(str(v) for v in c)}]::BIGINT[], {c2})"
+        for i, (c, c2) in enumerate(zip(qcents, c2s))
+    )
+    dist_cols = ", ".join(
+        f"n2 - 2 * list_dot_product(vq, [{', '.join(str(v) for v in c)}]::BIGINT[]) + {c2} AS d{i}"
+        for i, (c, c2) in enumerate(zip(qcents, c2s))
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(n_centroids)) + ")"
+    assign = "CASE " + " ".join(
+        f"WHEN d{i} = m THEN {i}" for i in range(n_centroids)
+    ) + " END"
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv, {_sql_quant_list('embedding', quant)} AS qq
+  FROM embeddings WHERE vec_id = 0
+), cents AS (
+  SELECT * FROM (VALUES {cent_rows}) AS t(i, c, c2)
+), probes AS (
+  SELECT i FROM cents, q
+  ORDER BY list_dot_product(qq, qq) - 2 * list_dot_product(qq, c) + c2, i
+  LIMIT {nprobe}
+), base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_sql_quant_list('embedding', quant)} AS vq
+  FROM embeddings WHERE vec_id > 0
+), dists AS (
+  SELECT vec_id, v, {dist_cols}
+  FROM (SELECT vec_id, v, vq, list_dot_product(vq, vq) AS n2 FROM base)
+), assigned AS (
+  SELECT vec_id, v, {assign} AS c FROM (SELECT *, {least} AS m FROM dists)
+), scored AS (
+  SELECT a.vec_id, list_cosine_similarity(a.v, q.qv) AS cos
+  FROM assigned a, q WHERE a.c IN (SELECT i FROM probes)
+)
+SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_e4
+FROM scored QUALIFY rank <= {k}
+"""
 
 
 def q_image_decode_stats(spark, sf):
@@ -901,6 +1029,9 @@ ORACLE: dict[str, str] = {
     "simhash": _sql_simhash(),
     "minhash_lsh_pairs": _sql_lsh_pairs(),
     "near_dup_pairs": _sql_near_dup(cap=NEAR_DUP_CAP),
-    # lsh_ann_topk / ivf_ann_topk / image_decode_stats / payload_verify: rows-only
-    # (approximate ANN and binary decode have no SQL-exact twin)
+    "lsh_ann_topk": _sql_lsh_ann_topk(),
+    "ivf_ann_topk": _sql_ivf_ann_topk(),
+    # image_decode_stats / payload_verify: rows-only (binary decode has no
+    # SQL twin). The ANN queries are exact-oracled via integer-quantized
+    # bucketing/assignment (floor(x·quant) int64 arithmetic on both engines).
 }

@@ -27,16 +27,3 @@ def norm_col(a: Column) -> Column:
 def cosine_col(a: Column, b: Column) -> Column:
     denom = norm_col(a) * norm_col(b)
     return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
-
-
-def sign_bits_col(a: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: sign bits of dot products with fixed hyperplanes,
-    packed into a long. `planes` is a small deterministic list (driver-side
-    constant, broadcast as literals)."""
-    bits = None
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot_col(a, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(2**i).cast("long")
-        bits = term if bits is None else bits + term
-    return bits if bits is not None else F.lit(0).cast("long")

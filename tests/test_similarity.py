@@ -90,21 +90,21 @@ def test_lsh_ann_two_flip_superset(emb):
 
 
 def test_lsh_ann_results_come_from_probed_buckets(emb):
-    """Every returned id must actually live in a probed bucket, and ranks
-    are exact within the probed candidates."""
-    from helix_spark.functions.vectors import sign_bits_col
+    """Every returned id must actually live in a probed bucket (computed
+    here with the same integer-quantized math a SQL oracle would use), and
+    ranks are exact within the probed candidates."""
+    from helix_spark.operators.similarity import (
+        lsh_probe_buckets_py,
+        quantize_vec_py,
+        quantized_planes,
+        sign_bucket_py,
+    )
 
-    planes = deterministic_planes(DIM, 3)
-    qbits = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(QUERY, p)) >= 0:
-            qbits |= 1 << i
-    probes = {qbits} | {qbits ^ (1 << i) for i in range(3)}
+    qplanes = quantized_planes(DIM, 3)
+    probes = set(lsh_probe_buckets_py(QUERY, qplanes, multiprobe=1))
     buckets = {
-        r["vec_id"]: r["b"]
-        for r in emb.select(
-            "vec_id", sign_bits_col(F.col("embedding"), planes).alias("b")
-        ).collect()
+        vid: sign_bucket_py(quantize_vec_py(vec, 100), qplanes)
+        for vid, vec in _corpus_py()
     }
     got = lsh_ann_topk(emb, QUERY, k=10, n_planes=3, multiprobe=1).collect()
     assert all(buckets[r["vec_id"]] in probes for r in got)
@@ -176,3 +176,49 @@ def test_deterministic_planes_stable():
     a = deterministic_planes(4, 2, seed=1)
     b = deterministic_planes(4, 2, seed=2)
     assert a != b
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """A degenerate bucket (all-identical vectors) must complete with
+    O(bucket) STAR pairs under the cap instead of the quadratic all-pairs
+    self-join, while small buckets keep exact all-pairs."""
+    from helix_spark.operators.similarity import embedding_near_dup_pairs
+
+    n = 60
+    rows = [(i, [1.0, 0.5, -0.25, 0.75]) for i in range(1, n + 1)]
+    # one distant small cluster in another bucket (negated direction)
+    rows += [(1001, [-1.0, -0.5, 0.25, -0.75]), (1002, [-1.0, -0.5, 0.25, -0.74])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dup_pairs(
+        df, threshold_e2=90, n_planes=2, max_bucket_size=10
+    ).collect()
+    hot = [(r["id_a"], r["id_b"]) for r in got if r["id_b"] <= n]
+    # star rule: every hot-bucket pair involves the bucket's min id (1)
+    assert len(hot) == n - 1
+    assert all(a == 1 for a, _ in hot)
+    # the small bucket keeps its exact all-pairs verify
+    assert any(r["id_a"] == 1001 and r["id_b"] == 1002 for r in got)
+    # identical vectors → cos_e4 == 10000 on star pairs
+    assert all(r["cos_e4"] == 10000 for r in got if r["id_a"] == 1 and r["id_b"] <= n)
+
+
+def test_embedding_near_dup_overflow_guard(spark):
+    """Quantized norms past the int64-safe bound must fail fast, not wrap."""
+    from helix_spark.operators.similarity import embedding_near_dup_pairs
+
+    big = 40000.0  # floor(40000*100)^2 * 4 dims >> sqrt(2^63/1e4)
+    df = spark.createDataFrame(
+        [(1, [big] * 4), (2, [big] * 4)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="int64-safe"):
+        embedding_near_dup_pairs(df, threshold_e2=90, n_planes=2)
+
+
+def test_auto_n_planes_scales_with_corpus():
+    from helix_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(0) == 4
+    assert auto_n_planes(10_000) == 6       # ~256/bucket
+    assert auto_n_planes(1_000_000) == 12
+    assert auto_n_planes(10**9) == 22       # buckets grow with n
+    assert auto_n_planes(10**12) == 24      # capped
