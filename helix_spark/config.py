@@ -31,6 +31,14 @@ class CrawlConfig:
     # frontier is a ranged LSM (append + manifest-prune, never rewritten):
     # priority range per leaf dir = 2^frontier_range_bits rows
     frontier_range_bits: int = 18
+    # frontier leaves are further split by pmod(xxhash64(host), N) so range
+    # pruning tracks per-host-bucket cursors — one lagging host keeps only
+    # its own bucket's dead ranges alive, not the whole frontier's
+    frontier_host_buckets: int = 16
+    # seed-scope membership: compiled as an isin literal list up to this
+    # many seeds; beyond it, a broadcast join against a seeds table (a
+    # 10^5-seed bootstrap as isin builds a 10^5-literal expression tree)
+    seed_isin_max: int = 128
     # seen anti-join: scan-side semi + broadcast anti while the candidate
     # set is at most this many rows AND ≤ seen/8; shuffle anti-join otherwise
     # (the broadcasts are serial driver collects — see operators/dedup.py)

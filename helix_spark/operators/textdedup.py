@@ -135,9 +135,26 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.5,
+    assert_max_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via shingle explode + equi-self-join.
-    Output pairs with jaccard_milli = floor(1000*|∩|/|∪|) ≥ threshold."""
+    Output pairs with jaccard_milli = floor(1000*|∩|/|∪|) ≥ threshold.
+
+    WARNING — quadratic on repetitive corpora: the shingle self-join blows
+    up with shared shingles (boilerplate), so CORPUS-WIDE calls do not
+    survive scale. This operator exists as the oracle-able exact twin and
+    as the verify stage of ``near_dup_pairs`` (which prunes to LSH
+    candidates first) — use near_dup_pairs for corpus-wide dedup. Set
+    ``assert_max_docs`` to fail fast if the input exceeds a sane bound for
+    an exact all-pairs run (costs one count job)."""
+    if assert_max_docs is not None:
+        n = docs.count()
+        if n > assert_max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: {n} docs > assert_max_docs="
+                f"{assert_max_docs}. Corpus-wide exact Jaccard is quadratic "
+                f"— use near_dup_pairs (LSH-pruned) instead."
+            )
     sh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),

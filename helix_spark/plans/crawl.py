@@ -138,6 +138,16 @@ class CrawlEngine:
         self.seed_canon = [
             canonicalize_url_py(s, None, cfg.sort_query)[0] for s in cfg.seeds
         ]
+        # seed-scope membership strategy: a literal isin compiles one
+        # expression node per seed, so past cfg.seed_isin_max the seed set
+        # becomes a (distinct, checkpointed) table probed via broadcast
+        # join — a 10^5-seed bootstrap stays a 10^5-ROW table instead of a
+        # 10^5-literal expression tree re-analyzed every wave
+        self.seeds_df: DataFrame | None = None
+        if len(self.seed_canon) > cfg.seed_isin_max:
+            self.seeds_df = spark.createDataFrame(
+                [(s,) for s in sorted(set(self.seed_canon))], "__seed_key string"
+            ).localCheckpoint()
         self.bloom: PartitionedBloom | None = None
         # strategy-only estimate of the next admission's post-dedup
         # candidate count (see admit docstring); None → shuffle anti-join
@@ -246,9 +256,28 @@ class CrawlEngine:
         self._filters_manifest_pending = None
 
     # ------------------------------------------------------------- admission
-    def _scope_expr(self, canonical, host, parent_host):
+    def _with_is_seed(self, df: DataFrame, col, out: str) -> DataFrame:
+        """Boolean column ``out`` = (``col`` ∈ canonical seed set), with
+        isin's null semantics (null in → null out). Literal isin for small
+        seed lists; broadcast join against seeds_df past cfg.seed_isin_max."""
+        if self.seeds_df is None:
+            expr = col.isin(*self.seed_canon) if self.seed_canon else F.lit(False)
+            return df.withColumn(out, expr)
+        joined = df.join(
+            F.broadcast(self.seeds_df.withColumn("__seed_hit", F.lit(True))),
+            on=col == F.col("__seed_key"),
+            how="left",
+        )
+        return joined.withColumn(
+            out,
+            F.when(col.isNotNull(), F.coalesce(F.col("__seed_hit"), F.lit(False))),
+        ).drop("__seed_key", "__seed_hit")
+
+    def _scope_expr(self, is_seed, host, parent_host):
+        """Scope predicate over a precomputed seed-membership column (see
+        _with_is_seed — membership may be a join, not an expression)."""
         cfg = self.cfg
-        checks = canonical.isin(*self.seed_canon) if self.seed_canon else F.lit(False)
+        checks = is_seed
         if cfg.remote_host:
             checks = checks | (F.lower(host) == cfg.remote_host.lower())
         return F.coalesce(
@@ -313,13 +342,14 @@ class CrawlEngine:
             )
         )
         is_bad = F.col("url_status") != 0
+        enriched = self._with_is_seed(enriched, F.col("canonical_url"), "__is_seed")
         enriched = (
             enriched.withColumn(
                 "status_pre",
                 F.when(
                     (F.col("status_pre") == 0)
                     & F.col("parent_url").isNull()
-                    & ~F.col("canonical_url").isin(*self.seed_canon),
+                    & ~F.col("__is_seed"),
                     F.lit(-103),  # orphan (PostProcessorBlock.cs:42-46)
                 ).otherwise(F.col("status_pre")),
             )
@@ -327,7 +357,7 @@ class CrawlEngine:
                 "is_internal",
                 F.coalesce(
                     F.col("is_internal_admit"),
-                    self._scope_expr(F.col("canonical_url"), F.col("host"), F.col("parent_host")),
+                    self._scope_expr(F.col("__is_seed"), F.col("host"), F.col("parent_host")),
                 ),
             )
         )
@@ -419,20 +449,30 @@ class CrawlEngine:
         return frontier_rows, report_rows, seen_rows, counts, n_frontier
 
     # -------------------------------------------------------------- readers
-    def _min_cursor(self, host_state: DataFrame | None) -> int | None:
-        """Exact global live-priority lower bound: every frontier host is
-        registered in host_state (next_host_state new_hosts), so
-        min(cursor) is safe to prune frontier ranges below."""
+    def _cursor_mins(self, host_state: DataFrame | None) -> dict[int, int] | None:
+        """Exact live-priority lower bound PER host-hash bucket: every
+        frontier host is registered in host_state (next_host_state
+        new_hosts), so min(cursor) over a bucket's hosts is safe to prune
+        that bucket's frontier ranges below. Per-bucket (vs one global min)
+        means a single lagging host only blocks pruning for its own bucket
+        — the round-2 design took the global min and one slow host kept
+        every dead range alive. One small agg + ≤N-row collect."""
         if host_state is None:
             return None
-        row = host_state.agg(F.min("cursor").alias("m")).collect()[0]
-        return row["m"]
+        hb = F.pmod(F.xxhash64(F.col("host")), F.lit(self.cfg.frontier_host_buckets))
+        rows = (
+            host_state.groupBy(hb.cast("int").alias("hb"))
+            .agg(F.min("cursor").alias("m"))
+            .collect()
+        )
+        return {r["hb"]: r["m"] for r in rows}
 
     def read_frontier(self, host_state: DataFrame | None = None) -> DataFrame | None:
-        """Append-only frontier scan, manifest-pruned to ranges that can
-        still hold live rows (priority > global min cursor). Liveness per
-        row is the caller's filter (select_batch joins host_state)."""
-        return self.wh.read_ranged("frontier", min_exclusive=self._min_cursor(host_state))
+        """Append-only frontier scan, manifest-pruned to (range, host-
+        bucket) leaves that can still hold live rows (priority > the
+        bucket's min cursor). Liveness per row is the caller's filter
+        (select_batch joins host_state)."""
+        return self.wh.read_ranged("frontier", bucket_mins=self._cursor_mins(host_state))
 
     def read_seen(self) -> DataFrame | None:
         """Seen map with LSM last-write-wins resolution: latest wave per key;
@@ -499,7 +539,20 @@ class CrawlEngine:
         # no broadcast hint: at scale the crawled-image set is large; AQE
         # picks broadcast when it is small
         fetched = fetched_images.join(crawled, on="image_id", how="left_semi")
-        return verify_payloads(fetched, reference_images)
+        checked = verify_payloads(fetched, reference_images)
+        # a crawled image with NO fetched payload (or no reference row) must
+        # FAIL the invariant, not silently produce no row — otherwise the
+        # per-row check passes vacuously on dropped payloads
+        have = fetched_images.select("image_id").join(
+            reference_images.select("image_id"), on="image_id", how="left_semi"
+        )
+        missing = crawled.join(have, on="image_id", how="left_anti").select(
+            "image_id",
+            F.lit(False).alias("pixels_ok"),
+            F.lit(None).cast("double").alias("psnr_db"),
+            F.lit(False).alias("caption_ok"),
+        )
+        return checked.unionByName(missing)
 
     def export_report(self, path: str, fmt: str = "csv") -> int:
         """The reference's user artifact: SQL-queryable SQLite / CSV report
@@ -659,16 +712,18 @@ class CrawlEngine:
             verified = verify_batch(batch, self.pages_store)
 
             final_host = F.regexp_extract(F.col("final_url"), _HOST_RE, 1)
+            verified = self._with_is_seed(verified, F.col("url"), "__seed_url")
+            verified = self._with_is_seed(verified, F.col("final_url"), "__seed_final")
             recompute = (
                 F.col("is_extracted")
                 & (F.col("status_pre") == 0)
-                & ~F.col("url").isin(*self.seed_canon)
+                & ~F.col("__seed_url")
             )
             verified = verified.withColumn(
                 "is_internal_final",
                 F.when(
                     recompute,
-                    self._scope_expr(F.col("final_url"), final_host, F.col("parent_host")),
+                    self._scope_expr(F.col("__seed_final"), final_host, F.col("parent_host")),
                 ).otherwise(F.col("is_internal")),
             )
             # ONE materialization for select+verify (round 2 paid two), with
@@ -683,7 +738,7 @@ class CrawlEngine:
                 obs,
                 F.count(F.lit(1)).alias("n"),
                 F.count_if(
-                    F.col("redirected") & F.col("url").isin(*self.seed_canon)
+                    F.col("redirected") & F.col("__seed_url")
                 ).alias("seed_redirects"),
                 # avg page-load time over this wave's settled fetches
                 # (README.md:28-29 / StatisticsSnapshot.cs:7 analog)
@@ -714,7 +769,7 @@ class CrawlEngine:
                 # AT the redirecting seed — truncate the batch log to match.
                 self.aborted = True
                 abort_pri = verified.filter(
-                    F.col("redirected") & F.col("url").isin(*self.seed_canon)
+                    F.col("redirected") & F.col("__seed_url")
                 ).agg(F.min("priority").alias("p")).collect()[0]["p"]
                 log_rows = log_rows.filter(F.col("priority") <= abort_pri)
                 total_fetched += log_rows.count() - batch_count
@@ -790,11 +845,12 @@ class CrawlEngine:
                 )
                 if m2:
                     cm["report"] = m2
-                # frontier "compaction" is a manifest edit: ranges entirely
-                # below the global min cursor are dropped with zero IO
-                min_cur = self._min_cursor(wh.read("host_state"))
-                if min_cur is not None:
-                    m3 = wh.prune_ranged("frontier", min_cur)
+                # frontier "compaction" is a manifest edit: (range, host-
+                # bucket) leaves entirely below their bucket's min cursor
+                # are dropped with zero IO
+                mins = self._cursor_mins(wh.read("host_state"))
+                if mins is not None:
+                    m3 = wh.prune_ranged("frontier", bucket_mins=mins)
                     if m3:
                         cm["frontier"] = m3
                 if cm:
@@ -921,7 +977,8 @@ class CrawlEngine:
             # by host_state cursors, fully-dead ranges pruned at compaction
             jobs["frontier"] = pool.submit(
                 wh.append_ranged, "frontier", frontier.select(FRONTIER_COLS),
-                "priority", cfg.frontier_range_bits,
+                "priority", cfg.frontier_range_bits, "host",
+                cfg.frontier_host_buckets,
             )
         # seen/report are LSM append-only (O(new rows) per wave, bucket-pruned
         # reads): hash-uniform updates would touch every bucket of a

@@ -191,75 +191,132 @@ class SnapshotWarehouse:
 
     # ------------------------------------------------------- ranged tables
     def append_ranged(self, name: str, df: DataFrame, range_col: str,
-                      range_bits: int = 18) -> str:
+                      range_bits: int = 18, bucket_col: str | None = None,
+                      num_buckets: int = 16) -> str:
         """LSM append for a table whose rows are CONSUMED in ``range_col``
         order (the frontier: per-host priority prefixes). Rows are written
         partitioned by ``range_id = range_col >> range_bits``; the manifest
         records leaf dirs per range. Because consumption is a priority
         prefix, a fully-consumed range is dropped from the manifest with
         ZERO data movement (prune_ranged) — the frontier never needs a
-        rewrite, only appends + manifest edits. O(new data) per call."""
+        rewrite, only appends + manifest edits. O(new data) per call.
+
+        ``bucket_col`` set → leaves are additionally split by
+        ``pmod(xxhash64(bucket_col), num_buckets)`` so consumption progress
+        can be tracked PER BUCKET: with a global min cursor, one lagging
+        host blocks range pruning for the whole frontier; with per-host-
+        bucket cursors only that host's bucket keeps its dead ranges alive
+        (read_ranged/prune_ranged ``bucket_mins``)."""
         m = self._load_manifest(name) or {
-            "range_col": range_col, "range_bits": range_bits, "ranges": {}
+            "range_col": range_col, "range_bits": range_bits, "ranges": {},
+            "bucket_col": bucket_col, "num_buckets": num_buckets if bucket_col else None,
         }
         if m.get("range_col") != range_col or m.get("range_bits") != range_bits:
             raise ValueError(f"table {name}: range spec mismatch")
-        RANGE = "__range"
+        if m.get("bucket_col") != bucket_col:
+            raise ValueError(f"table {name}: bucket spec mismatch")
+        RANGE, HB = "__range", "__hb"
         ranged = df.withColumn(
             RANGE, F.shiftright(F.col(range_col).cast("long"), range_bits).cast("long")
         )
+        part_cols = [RANGE]
+        if bucket_col is not None:
+            ranged = ranged.withColumn(
+                HB, F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(num_buckets)).cast("int")
+            )
+            part_cols.append(HB)
         d = self._new_data_dir(name)
         # salt the write partitioning: one wave's rows span only 1-2 priority
         # ranges, and repartition(RANGE) alone would funnel the whole append
-        # through 1-2 write tasks; 8 salted writers per range keeps the file
-        # count bounded (≤8/range/append) while using the cluster
-        salt = F.pmod(F.xxhash64(F.col(range_col)), F.lit(8))
-        ranged.repartition(F.col(RANGE), salt).write.mode("overwrite").partitionBy(
-            RANGE
-        ).parquet(d)
-        ranges: dict[str, list[str]] = {str(k): list(v) for k, v in m.get("ranges", {}).items()}
+        # through 1-2 write tasks; salted writers per leaf keep the file
+        # count bounded while using the cluster
+        salt = F.pmod(F.xxhash64(F.col(range_col)), F.lit(8 if bucket_col is None else 2))
+        ranged.repartition(*[F.col(c) for c in part_cols], salt).write.mode(
+            "overwrite"
+        ).partitionBy(*part_cols).parquet(d)
+        ranges = {str(k): v for k, v in m.get("ranges", {}).items()}
         for sub in os.listdir(d):
-            if sub.startswith(f"{RANGE}="):
-                rid = sub.split("=", 1)[1]
+            if not sub.startswith(f"{RANGE}="):
+                continue
+            rid = sub.split("=", 1)[1]
+            if bucket_col is None:
                 ranges.setdefault(rid, []).append(os.path.join(d, sub))
+            else:
+                by_hb = ranges.setdefault(rid, {})
+                for hsub in os.listdir(os.path.join(d, sub)):
+                    if hsub.startswith(f"{HB}="):
+                        hb = hsub.split("=", 1)[1]
+                        by_hb.setdefault(hb, []).append(os.path.join(d, sub, hsub))
         return self._save_manifest(
-            name, {"range_col": range_col, "range_bits": range_bits, "ranges": ranges}
+            name, {"range_col": range_col, "range_bits": range_bits, "ranges": ranges,
+                   "bucket_col": bucket_col,
+                   "num_buckets": num_buckets if bucket_col else None}
         )
 
-    def read_ranged(self, name: str, min_exclusive: int | None = None) -> DataFrame | None:
-        """Read a ranged table, PRUNING ranges whose entire ``range_col``
-        span is ≤ ``min_exclusive`` (fully consumed) at the manifest level —
-        no file IO for dead ranges."""
+    @staticmethod
+    def _ranged_leaves(m: dict, min_exclusive: int | None,
+                       bucket_mins: dict[int, int] | None):
+        """→ kept {rid: dirs-or-{hb: dirs}} after cursor pruning. A leaf is
+        dead iff its whole range span is ≤ the relevant cursor: the global
+        ``min_exclusive`` for flat tables, the leaf's OWN bucket cursor for
+        bucketed ones (an unknown bucket is conservatively kept)."""
+        bits = m["range_bits"]
+        bucketed = m.get("bucket_col") is not None
+        keep = {}
+        for rid, entry in m.get("ranges", {}).items():
+            rmax = ((int(rid) + 1) << bits) - 1
+            if bucketed and bucket_mins is not None:
+                kept_hb = {
+                    hb: dirs
+                    for hb, dirs in entry.items()
+                    if not (int(hb) in bucket_mins and rmax <= bucket_mins[int(hb)])
+                }
+                if kept_hb:
+                    keep[rid] = kept_hb
+            else:
+                if min_exclusive is not None and rmax <= min_exclusive:
+                    continue
+                keep[rid] = entry
+        return keep
+
+    def read_ranged(self, name: str, min_exclusive: int | None = None,
+                    bucket_mins: dict[int, int] | None = None) -> DataFrame | None:
+        """Read a ranged table, PRUNING leaves whose entire ``range_col``
+        span is consumed (≤ the global ``min_exclusive``, or ≤ their own
+        host-bucket's cursor in ``bucket_mins``) at the manifest level — no
+        file IO for dead leaves."""
         m = self._load_manifest(name)
         if m is None:
             return None
-        bits = m["range_bits"]
         paths = []
-        for rid, dirs in m.get("ranges", {}).items():
-            if min_exclusive is not None and ((int(rid) + 1) << bits) - 1 <= min_exclusive:
-                continue
+        for entry in self._ranged_leaves(m, min_exclusive, bucket_mins).values():
+            dirs = entry if isinstance(entry, list) else [
+                p for ds in entry.values() for p in ds
+            ]
             paths.extend(dirs)
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
 
-    def prune_ranged(self, name: str, min_exclusive: int) -> str | None:
-        """Drop fully-consumed ranges from the manifest (zero-IO compaction).
+    def prune_ranged(self, name: str, min_exclusive: int | None = None,
+                     bucket_mins: dict[int, int] | None = None) -> str | None:
+        """Drop fully-consumed leaves from the manifest (zero-IO compaction).
         Returns the new manifest name, or None if nothing was prunable."""
         m = self._load_manifest(name)
         if m is None:
             return None
-        bits = m["range_bits"]
-        keep = {
-            rid: dirs
-            for rid, dirs in m.get("ranges", {}).items()
-            if ((int(rid) + 1) << bits) - 1 > min_exclusive
-        }
-        if len(keep) == len(m.get("ranges", {})):
+        keep = self._ranged_leaves(m, min_exclusive, bucket_mins)
+        before = sum(
+            len(e) if isinstance(e, dict) else 1 for e in m.get("ranges", {}).values()
+        )
+        after = sum(len(e) if isinstance(e, dict) else 1 for e in keep.values())
+        if after == before:
             return None
         return self._save_manifest(
-            name, {"range_col": m["range_col"], "range_bits": bits, "ranges": keep}
+            name, {"range_col": m["range_col"], "range_bits": m["range_bits"],
+                   "ranges": keep, "bucket_col": m.get("bucket_col"),
+                   "num_buckets": m.get("num_buckets")}
         )
 
     def compact_bucketed(

@@ -244,3 +244,51 @@ def test_querystring_parity_sort_query_off(spark, tmp_path):
     # both pages must verify as 200 — a store/frontier key mismatch would
     # surface them as −400
     assert all(v["status_code"] == 200 for v in got.values()), got
+
+
+def test_parity_broadcast_seed_scope(spark, tmp_path):
+    """seed_isin_max=0 forces the broadcast-join seed-membership path (the
+    10^5-seed bootstrap strategy); results must stay bit-identical to the
+    literal-isin path and the oracle — including orphan marking, scope
+    recompute after redirects, and seed-redirect handling."""
+    cfg = CrawlConfig(
+        seeds=["http://host0.test/p/0", "http://host1.test/p/1"],
+        per_host_budget=3,
+        max_waves=60,
+        expected_urls=10_000,
+        bloom_slices=4,
+        seen_buckets=8,
+        report_buckets=8,
+        seed_isin_max=0,
+    )
+    oracle, engine, outcome = _run_both(spark, tmp_path, cfg)
+    assert engine.seeds_df is not None, "join path not engaged"
+    assert _engine_seen(engine) == oracle.seen
+    assert _engine_report(engine) == oracle.report
+    assert _engine_order(engine) == oracle.crawl_order
+
+
+def test_large_seed_bootstrap_no_expression_blowup(spark, tmp_path):
+    """A 10^5-seed crawl must admit through the broadcast seed table, not a
+    10^5-literal isin expression tree (which stalls analysis per wave)."""
+    from helix_spark.sources import synthetic
+
+    n_seeds = 100_000
+    seeds = [f"http://bulk{i % 50}.test/p/{i}" for i in range(n_seeds)]
+    pages = spark.createDataFrame(synthetic.gen_pages_py(30, 3))
+    assets = spark.createDataFrame(
+        [], "page_url string, asset_url string, content_type string, size long, status_code int, seq int"
+    )
+    robots = spark.createDataFrame(
+        [], "host string, disallow_prefixes array<string>, crawl_delay_waves int"
+    )
+    cfg = CrawlConfig(
+        seeds=seeds, per_host_budget=10, max_waves=1,
+        expected_urls=200_000, bloom_slices=4, seen_buckets=8, report_buckets=8,
+    )
+    engine = CrawlEngine(spark, cfg, str(tmp_path / "wh"), pages, assets, robots)
+    assert engine.seeds_df is not None
+    outcome = engine.run()
+    # every seed admitted exactly once into the frontier+seen universe
+    assert engine.counter == n_seeds
+    assert outcome.total_fetched > 0

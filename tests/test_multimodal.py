@@ -99,6 +99,19 @@ def test_crawl_payload_invariant_end_to_end(spark, tmp_path):
     assert len(bad) == len(crawled_imgs)
     assert all(not r["caption_ok"] for r in bad)
 
+    # a DROPPED payload must fail the invariant, not vanish: removing one
+    # crawled image from the fetched set still yields one row per crawled
+    # image, with the missing one explicitly pixels_ok=False
+    some_id = sorted(
+        r["image_id"] for r in eng.verify_crawled_payloads(imgs, imgs).collect()
+    )[0]
+    dropped = imgs.filter(F.col("image_id") != some_id)
+    part = eng.verify_crawled_payloads(dropped, imgs).collect()
+    assert len(part) == len(crawled_imgs)
+    by_id = {r["image_id"]: r for r in part}
+    assert not by_id[some_id]["pixels_ok"] and not by_id[some_id]["caption_ok"]
+    assert all(r["pixels_ok"] for i, r in by_id.items() if i != some_id)
+
 
 # ---- localize (UriLocalizationDescription.cs:11-41 fixture rows) ----
 LOCALIZE_CASES = [

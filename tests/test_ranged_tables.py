@@ -133,3 +133,42 @@ def test_bloom_slice_affine_probe_matches_broadcast(spark, tmp_path):
     }
     assert sliced == broadcast
     assert all(sliced[int(h)] for h in present[:500])
+
+
+def test_ranged_per_bucket_pruning(spark, tmp_path):
+    """A lagging host must keep only ITS host-bucket's dead ranges alive:
+    pruning with per-bucket cursors drops the other buckets' consumed
+    leaves (the global-min design kept every dead range for everyone)."""
+    from pyspark.sql import functions as F
+
+    wh = SnapshotWarehouse(spark, str(tmp_path))
+    hosts = [f"h{i}.test" for i in range(6)]
+    hb = {
+        r["h"]: r["b"]
+        for r in spark.createDataFrame([(h,) for h in hosts], "h string")
+        .select("h", F.pmod(F.xxhash64("h"), F.lit(4)).cast("int").alias("b"))
+        .collect()
+    }
+    lag = hosts[0]
+    rows = [(p, h) for p in range(128) for h in hosts]
+    df = spark.createDataFrame(rows, "priority long, host string")
+    m = wh.append_ranged("t", df, range_col="priority", range_bits=5,
+                         bucket_col="host", num_buckets=4)
+    wh.commit(0, {"t": m})
+    # every bucket consumed past priority 63 except the lagging host's
+    mins = {b: 63 for b in range(4)}
+    mins[hb[lag]] = -1
+    out = wh.read_ranged("t", bucket_mins=mins)
+    got_hosts = {r["host"] for r in out.filter(F.col("priority") < 64).collect()}
+    # ranges 0-1 survive ONLY in the lagging host's bucket
+    assert all(hb[h] == hb[lag] for h in got_hosts)
+    assert lag in got_hosts
+    # rows above every cursor survive everywhere
+    assert out.filter(F.col("priority") > 63).select("host").distinct().count() == 6
+    # prune is a manifest edit that keeps the lagging bucket's leaves
+    assert wh.prune_ranged("t", bucket_mins=mins) is not None
+    out2 = wh.read_ranged("t", bucket_mins=mins)
+    assert lag in {r["host"] for r in out2.filter(F.col("priority") < 64).collect()}
+    # unknown bucket -> conservatively kept
+    out3 = wh.read_ranged("t", bucket_mins={})
+    assert out3.count() == df.count()

@@ -121,3 +121,18 @@ def test_simhash_near_dups_close_hamming(docs):
     ham_near = bin(out[1] ^ out[3]).count("1")
     ham_far = bin(out[1] ^ out[5]).count("1")
     assert ham_near < ham_far
+
+
+def test_ngram_jaccard_max_docs_guard(spark):
+    """Corpus-wide exact Jaccard fails fast past the caller's bound."""
+    import pytest as _pytest
+
+    from helix_spark.operators.textdedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five") for i in range(20)], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="near_dup_pairs"):
+        ngram_jaccard_pairs(docs, assert_max_docs=10)
+    # under the bound: runs
+    assert ngram_jaccard_pairs(docs, assert_max_docs=100).count() > 0
