@@ -52,6 +52,7 @@ def anti_join_seen(
     semi_broadcast_max_rows: int = 4_000_000,
     maybe_rows: int | None = None,
     seen_rows: int | None = None,
+    bloom_min_ratio: int = 32,
 ) -> DataFrame:
     """candidates → subset whose ``key`` hash is NOT in the seen table
     (seen table column: ``seen_key``).
@@ -81,6 +82,21 @@ def anti_join_seen(
     batches touch every bucket."""
     if not warehouse.exists(seen_table):
         return candidates
+    # The bloom prefilter's regime is seen ≫ candidates (10^10 seen vs 10^6
+    # waves: the probe removes ~all of the anti-join's left side). When seen
+    # is merely comparable to the batch (young crawls, giant backfills) the
+    # probe is pure overhead — an Arrow round-trip of every candidate row
+    # through Python to save a seen-key shuffle of similar size — so it is
+    # bypassed below this ratio. Correctness is unaffected either way (the
+    # exact join is always the authority; the filter is maintained
+    # regardless, so the probe re-engages as seen outgrows the waves).
+    if (
+        bloom is not None
+        and maybe_rows is not None
+        and seen_rows is not None
+        and seen_rows < bloom_min_ratio * maybe_rows
+    ):
+        bloom = None
     if bloom is not None:
         probed = bloom.probe_col(candidates, hash_col=key, out_col="__maybe")
         definite_new = probed.filter(~F.col("__maybe")).drop("__maybe")

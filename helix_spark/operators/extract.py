@@ -131,14 +131,18 @@ _HREF_RE_JVM = r"""(?is)<a\b[^>]*?\bhref\s*=\s*("[^"]*"|'[^']*')"""
 
 
 def extract_links_jvm(pages_df: DataFrame, url_col: str = "url",
-                      html_col: str = "html") -> DataFrame:
+                      html_col: str = "html", resolver=None) -> DataFrame:
     """JVM-only link extraction: regexp_extract_all + posexplode + the
     column-expression resolver (functions/urls.resolve_url_col). Same rows
     and document order as the pandas ``extract_links`` (pinned against it
     and against the oracle's extract_hrefs_py in tests/test_extract.py),
     but stays inside whole-stage codegen — no Python workers, no Arrow
     transfer of page HTML. This is the crawl engine's hot path; the pandas
-    variant remains as the cross-check and the UDF pattern exemplar."""
+    variant remains as the cross-check and the UDF pattern exemplar.
+
+    ``resolver``: a prebuilt resolve_url_col(F.col("href"), F.col(url_col))
+    Column — constructing it costs ~0.4 s of py4j round-trips, so per-wave
+    callers build it once and pass it in."""
     from helix_spark.functions.urls import resolve_url_col
 
     quoted = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE_JVM), 1)
@@ -150,9 +154,9 @@ def extract_links_jvm(pages_df: DataFrame, url_col: str = "url",
     exploded = pages_df.select(
         *pages_df.columns, F.posexplode(hrefs).alias("seq", "href")
     )
-    return exploded.withColumn(
-        "resolved_url", resolve_url_col(F.col("href"), F.col(url_col))
-    ).drop(html_col)
+    if resolver is None:
+        resolver = resolve_url_col(F.col("href"), F.col(url_col))
+    return exploded.withColumn("resolved_url", resolver).drop(html_col)
 
 
 def extract_links(pages_df: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:

@@ -47,6 +47,24 @@ def observed_metrics(obs: Observation) -> dict:
         raise
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the cached blocks behind a localCheckpoint'd DataFrame (or a
+    projection over one). localCheckpoint blocks are otherwise freed only
+    when the driver GC collects the Python/JVM DataFrame handles — on an
+    iterative engine that nondeterministic lag accumulates gigabytes of
+    dead blocks and turns into eviction/GC noise (measured: identical waves
+    varying 21 s ↔ 61 s). Call ONLY when nothing will read the DataFrame
+    again: the truncated lineage cannot recompute freed blocks."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort memory hygiene; never fail the wave over it
+
+
 def uniform_hash_boundaries(num_buckets: int) -> list[int]:
     """Bucket boundaries for a primary key uniform over the full int64 range
     (e.g. xxhash64 admission keys): an analytic equal-width grid — no data

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
@@ -63,6 +64,7 @@ from helix_spark.functions.urls import (
     canonical_status_col,
     canonical_url_col,
     canonicalize_url_py,
+    resolve_url_col,
 )
 from helix_spark.operators.dedup import anti_join_seen, first_wins_in_batch
 from helix_spark.operators.extract import extract_links_jvm
@@ -74,6 +76,7 @@ from helix_spark.operators.politeness import (
 )
 from helix_spark.operators.rank import (
     bucketed_global_rank,
+    free_local_checkpoint,
     observed_metrics,
     uniform_hash_boundaries,
 )
@@ -149,6 +152,14 @@ class CrawlEngine:
                 [(s,) for s in sorted(set(self.seed_canon))], "__seed_key string"
             ).localCheckpoint()
         self.bloom: PartitionedBloom | None = None
+        # The big URL Column expressions cost ~0.3-0.4 s of py4j round-trips
+        # EACH to construct, and a wave needs them every iteration. Column
+        # trees are immutable and bind by input column NAME, so build them
+        # once here and reuse across waves (measured: ~0.8 s/wave of pure
+        # driver-side expression construction removed).
+        self._canon_resolved = canonical_url_col(F.col("resolved"), sort_query=cfg.sort_query)
+        self._status_resolved = canonical_status_col(F.col("resolved"))
+        self._link_resolver = resolve_url_col(F.col("href"), F.col("final_url"))
         # strategy-only estimate of the next admission's post-dedup
         # candidate count (see admit docstring); None → shuffle anti-join
         self._est_candidates: int | None = None
@@ -159,6 +170,24 @@ class CrawlEngine:
         self.live = 0  # exact frontier live-row count (admitted − consumed)
         self.aborted = False
         self.verbose = bool(os.environ.get("HELIX_SPARK_VERBOSE"))
+
+    @contextmanager
+    def _static_planner(self):
+        """AQE off for the wave loop. The crawl's plans are fully
+        hand-managed — explicit broadcast hints, quantile-balanced rank
+        buckets, fixed shuffle partitions, salted writers — so AQE's only
+        per-wave contribution is a driver-side re-optimization of the big
+        plan at EVERY stage boundary (measured via event-log gap analysis:
+        seconds of zero-tasks-running driver time per wave, the dominant
+        non-scaling fraction at N→4N). Restored on exit so the analytics
+        queries (which do want AQE) are unaffected."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
 
     # ----------------------------------------------------------- filter serde
     # Note on the reference's cuckoo filter: its deletable queued-vs-settled
@@ -318,9 +347,9 @@ class CrawlEngine:
 
         → (frontier_rows, report_rows, seen_rows, partition_counts, n_frontier)"""
         cfg = self.cfg
-        canonical = canonical_url_col(F.col("resolved"), sort_query=cfg.sort_query)
+        canonical = self._canon_resolved
         status = F.when(F.col("resolved").isNull(), F.lit(STATUS_MALFORMED_URI)).otherwise(
-            canonical_status_col(F.col("resolved"))
+            self._status_resolved
         )
         enriched = (
             items.withColumn("canonical_url", canonical)
@@ -569,6 +598,10 @@ class CrawlEngine:
 
     # ----------------------------------------------------------- bootstrap
     def bootstrap_frontier(self, urls: DataFrame) -> int:
+        with self._static_planner():
+            return self._bootstrap_frontier(urls)
+
+    def _bootstrap_frontier(self, urls: DataFrame) -> int:
         """Pre-populate the frontier from a DataFrame of absolute URLs
         (column ``url``) — the resumed-crawl-with-backlog scenario used for
         frontier-throughput benchmarking at 10^x scale. URLs are admitted
@@ -605,9 +638,16 @@ class CrawlEngine:
         self.live += n_frontier
         self._commit_wave(-1, frontier, report, seen, None, 0, counts,
                           n_frontier=n_frontier)
+        free_local_checkpoint(frontier)  # committed to parquet; blocks dead
+        # seed the first wave's join-strategy estimate from the backlog size
+        self._est_candidates = max(sum(counts.values()), 1) * 4
         return sum(counts.values())
 
     def enqueue_urls(self, urls: DataFrame) -> int:
+        with self._static_planner():
+            return self._enqueue_urls(urls)
+
+    def _enqueue_urls(self, urls: DataFrame) -> int:
         """Mid-crawl URL feed ingestion — a crawl discovers its input over
         time (new seed lists, sitemap drops, a readStream of URLs via
         foreachBatch: streaming/events.seed_feed_query). URLs pass the FULL
@@ -661,10 +701,15 @@ class CrawlEngine:
             hs = hs.unionByName(new_hosts)
         self._commit_wave(wave, frontier, report, seen, hs, 0, counts,
                           n_frontier=n_frontier)
+        free_local_checkpoint(frontier)
         return sum(counts.values())
 
     # ------------------------------------------------------------- wave body
     def run(self, resume: bool = False) -> CrawlOutcome:
+        with self._static_planner():
+            return self._run(resume)
+
+    def _run(self, resume: bool = False) -> CrawlOutcome:
         cfg, wh, spark = self.cfg, self.wh, self.spark
         head = wh.head_commit() if resume else None
         if head:
@@ -687,6 +732,7 @@ class CrawlEngine:
             self.live += n_frontier
             self._commit_wave(-1, frontier, report, seen, None, 0, counts,
                               n_frontier=n_frontier)
+            free_local_checkpoint(frontier)
             start_wave = 0
 
         total_fetched = 0
@@ -758,6 +804,7 @@ class CrawlEngine:
                 wh.commit(wave, {}, metrics={
                     "counter": self.counter, "live": self.live, "batch": 0,
                 })
+                free_local_checkpoint(verified)
                 wave += 1
                 continue
             total_fetched += batch_count
@@ -814,8 +861,6 @@ class CrawlEngine:
             # the semi-broadcast path only engages well inside its regime
             self._est_candidates = max(sum(counts.values()), batch_count) * 4
             _mark("admit")
-            self._ingest_filters(admit_seen)
-            _mark("filters")
             self.counter += sum(counts.values())
             self.live += n_frontier - batch_count
 
@@ -823,11 +868,15 @@ class CrawlEngine:
             all_seen = seen_updates.unionByName(admit_seen)
             hs = next_host_state(batch, self.robots, wave, host_state,
                                  new_hosts=new_frontier)
-            mlog = wh.append("crawl_log", log_rows)
+            # bloom maintenance and the fetch-log append are independent of
+            # the six table writes — run them all in the commit pool instead
+            # of serializing ~2 s of jobs ahead of it
             self._commit_wave(
                 wave, new_frontier, all_report, all_seen, hs, batch_count, counts,
-                extra_manifests={"crawl_log": mlog}, n_frontier=n_frontier,
+                n_frontier=n_frontier,
                 avg_load_ms=stats.get("avg_load_ms"),
+                extra_jobs={"crawl_log": lambda: wh.append("crawl_log", log_rows)},
+                filters_prep=lambda: self._ingest_filters(admit_seen),
             )
             _mark("commit")
             if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
@@ -857,6 +906,11 @@ class CrawlEngine:
                     wh.commit(wave, cm, metrics={"counter": self.counter,
                                                  "live": self.live,
                                                  "compaction": True})
+            # wave committed: the two checkpoints (select+verify batch, ranked
+            # admissions) are dead — free their blocks NOW instead of waiting
+            # for driver GC (block-manager hygiene; see free_local_checkpoint)
+            free_local_checkpoint(verified)
+            free_local_checkpoint(new_frontier)
             if self.verbose:
                 print(
                     f"[helix-spark] wave {wave}: batch={batch_count} "
@@ -933,7 +987,8 @@ class CrawlEngine:
         to_render = pages.join(self.pages_html, on="final_url", how="inner")
         # JVM extraction (regexp_extract_all + column-expr resolver): no
         # Python workers or Arrow transfer of page HTML in the hot path
-        links = extract_links_jvm(to_render, url_col="final_url", html_col="html")
+        links = extract_links_jvm(to_render, url_col="final_url", html_col="html",
+                                  resolver=self._link_resolver)
         links = links.join(asset_counts, on="final_url", how="left").withColumn(
             "__offset", F.coalesce(F.col("__n_assets"), F.lit(0))
         )
@@ -959,7 +1014,14 @@ class CrawlEngine:
     def _commit_wave(self, wave, frontier, report, seen, host_state, batch_count,
                      partition_counts=None, extra_manifests: dict | None = None,
                      n_frontier: int | None = None,
-                     avg_load_ms: float | None = None) -> None:
+                     avg_load_ms: float | None = None,
+                     extra_jobs: dict | None = None,
+                     filters_prep=None) -> None:
+        """``extra_jobs``: {table: thunk → manifest} to run in the commit
+        pool alongside the table writes. ``filters_prep``: thunk run in the
+        pool BEFORE _save_filters on the same pool task (bloom ingest must
+        complete before its serialization — sequential within the task,
+        concurrent with everything else)."""
         wh, cfg = self.wh, self.cfg
         manifests = dict(extra_manifests or {})
         # The table writes below are independent jobs over already-
@@ -1014,7 +1076,15 @@ class CrawlEngine:
             F.lit(avg_load_ms).cast("double").alias("avg_page_load_ms"),
         )
         jobs["metrics"] = pool.submit(wh.append, "metrics", wave_metrics)
-        filters_future = pool.submit(self._save_filters, wave)
+        for tname, thunk in (extra_jobs or {}).items():
+            jobs[tname] = pool.submit(thunk)
+
+        def _filters_chain():
+            if filters_prep is not None:
+                filters_prep()
+            return self._save_filters(wave)
+
+        filters_future = pool.submit(_filters_chain)
         try:
             for name, fut in jobs.items():
                 manifests[name] = fut.result()

@@ -109,12 +109,36 @@ class SnapshotWarehouse:
     def _new_data_dir(self, name: str) -> str:
         return os.path.join(self._table_dir(name), f"data-{uuid.uuid4().hex[:12]}")
 
+    def _read_parquet(self, paths: list[str], m: dict | None):
+        """Leaf-dir read with the schema pinned from the manifest: skips the
+        footer-inference job Spark otherwise runs per read (measured as a
+        per-wave driver-side gap). Falls back to inference for manifests
+        written before schemas were recorded."""
+        reader = self.spark.read
+        sch = (m or {}).get("schema")
+        if sch:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(sch)))
+        return reader.parquet(*paths)
+
+    @staticmethod
+    def _data_schema_json(df: DataFrame, drop: tuple[str, ...] = ()) -> str:
+        """Schema of the rows as READ BACK from leaf dirs (partition dir
+        columns are not in the data files — drop them)."""
+        fields = [f for f in df.schema.fields if f.name not in drop]
+        from pyspark.sql.types import StructType
+
+        return json.dumps(StructType(fields).jsonValue())
+
     # ------------------------------------------------------------ table ops
     def overwrite(self, name: str, df: DataFrame) -> str:
         """Replace table contents (unbucketed). Returns manifest filename."""
         d = self._new_data_dir(name)
         df.write.mode("overwrite").parquet(d)
-        return self._save_manifest(name, {"key": None, "num_buckets": 0, "files": [d]})
+        return self._save_manifest(
+            name, {"key": None, "num_buckets": 0, "files": [d],
+                   "schema": self._data_schema_json(df)})
 
     def append(self, name: str, df: DataFrame) -> str:
         """Append rows: link previous leaf dirs + one new dir. O(new data)."""
@@ -126,7 +150,9 @@ class SnapshotWarehouse:
             # flatten a bucketed table into append mode is not supported
             raise ValueError(f"table {name} is bucketed; use merge_upsert")
         files.append(d)
-        return self._save_manifest(name, {"key": None, "num_buckets": 0, "files": files})
+        return self._save_manifest(
+            name, {"key": None, "num_buckets": 0, "files": files,
+                   "schema": m.get("schema") or self._data_schema_json(df)})
 
     def merge_upsert(self, name: str, updates: DataFrame, key: str, num_buckets: int = 64) -> str:
         """MERGE semantics (WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT) with
@@ -146,7 +172,7 @@ class SnapshotWarehouse:
         buckets: dict[str, list[str]] = {str(k): list(v) for k, v in m.get("buckets", {}).items()}
         old_paths = [p for b in affected for p in buckets.get(str(b), [])]
         if old_paths:
-            old = self.spark.read.parquet(*old_paths)
+            old = self._read_parquet(old_paths, m)
             keep = old.join(updates.select(key).distinct(), on=key, how="left_anti")
             keep = keep.withColumn(
                 BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
@@ -164,7 +190,9 @@ class SnapshotWarehouse:
         for b in affected:
             sub = os.path.join(d, f"{BUCKET_COL}={b}")
             buckets[str(b)] = [sub] if os.path.exists(sub) else []
-        return self._save_manifest(name, {"key": key, "num_buckets": num_buckets, "buckets": buckets})
+        return self._save_manifest(
+            name, {"key": key, "num_buckets": num_buckets, "buckets": buckets,
+                   "schema": m.get("schema") or self._data_schema_json(updates)})
 
     def append_bucketed(self, name: str, df: DataFrame, key: str, num_buckets: int = 64) -> str:
         """LSM-style bucketed append: write the new rows partitioned by
@@ -187,7 +215,9 @@ class SnapshotWarehouse:
             sub = os.path.join(d, f"{BUCKET_COL}={b}")
             if os.path.exists(sub):
                 buckets.setdefault(str(b), []).append(sub)
-        return self._save_manifest(name, {"key": key, "num_buckets": num_buckets, "buckets": buckets})
+        return self._save_manifest(
+            name, {"key": key, "num_buckets": num_buckets, "buckets": buckets,
+                   "schema": m.get("schema") or self._data_schema_json(df)})
 
     # ------------------------------------------------------- ranged tables
     def append_ranged(self, name: str, df: DataFrame, range_col: str,
@@ -250,7 +280,8 @@ class SnapshotWarehouse:
         return self._save_manifest(
             name, {"range_col": range_col, "range_bits": range_bits, "ranges": ranges,
                    "bucket_col": bucket_col,
-                   "num_buckets": num_buckets if bucket_col else None}
+                   "num_buckets": num_buckets if bucket_col else None,
+                   "schema": m.get("schema") or self._data_schema_json(df)}
         )
 
     @staticmethod
@@ -297,7 +328,7 @@ class SnapshotWarehouse:
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        return self._read_parquet(paths, m)
 
     def prune_ranged(self, name: str, min_exclusive: int | None = None,
                      bucket_mins: dict[int, int] | None = None) -> str | None:
@@ -316,7 +347,7 @@ class SnapshotWarehouse:
         return self._save_manifest(
             name, {"range_col": m["range_col"], "range_bits": m["range_bits"],
                    "ranges": keep, "bucket_col": m.get("bucket_col"),
-                   "num_buckets": m.get("num_buckets")}
+                   "num_buckets": m.get("num_buckets"), "schema": m.get("schema")}
         )
 
     def compact_bucketed(
@@ -336,7 +367,7 @@ class SnapshotWarehouse:
         if not hot:
             return None
         paths = [p for b in hot for p in buckets[b] if os.path.exists(p)]
-        df = self.spark.read.parquet(*paths)
+        df = self._read_parquet(paths, m)
         key = m["key"]
         if version_col is not None:
             from pyspark.sql import Window
@@ -361,7 +392,9 @@ class SnapshotWarehouse:
         for b in hot:
             sub = os.path.join(d, f"{BUCKET_COL}={b}")
             buckets[b] = [sub] if os.path.exists(sub) else []
-        return self._save_manifest(name, {"key": key, "num_buckets": nb, "buckets": buckets})
+        return self._save_manifest(
+            name, {"key": key, "num_buckets": nb, "buckets": buckets,
+                   "schema": m.get("schema")})
 
     # --------------------------------------------------------------- readers
     def exists(self, name: str) -> bool:
@@ -382,7 +415,7 @@ class SnapshotWarehouse:
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        return self._read_parquet(paths, m)
 
     def num_buckets(self, name: str) -> int:
         m = self._load_manifest(name)

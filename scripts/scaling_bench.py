@@ -35,7 +35,7 @@ def run_config(cpus: int) -> dict:
         app_name=f"helix-scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
-        extra_conf={"spark.driver.memory": "24g"},
+        extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = gen_pages_spark(spark, PAGES, H)
