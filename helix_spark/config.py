@@ -34,7 +34,7 @@ class CrawlConfig:
     # frontier leaves are further split by pmod(xxhash64(host), N) so range
     # pruning tracks per-host-bucket cursors — one lagging host keeps only
     # its own bucket's dead ranges alive, not the whole frontier's
-    frontier_host_buckets: int = 16
+    frontier_host_buckets: int = 8
     # seed-scope membership: compiled as an isin literal list up to this
     # many seeds; beyond it, a broadcast join against a seeds table (a
     # 10^5-seed bootstrap as isin builds a 10^5-literal expression tree)

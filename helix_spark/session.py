@@ -62,6 +62,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # v2 commits move task output at task-commit time instead of a
+        # serial driver-side rename pass at job commit — the crawl's
+        # partitioned appends produce O(ranges × buckets) leaf files whose
+        # rename pass was on the wave-commit critical path
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     if iceberg_jar_available() and warehouse:
         builder = (

@@ -259,8 +259,11 @@ class SnapshotWarehouse:
         # salt the write partitioning: one wave's rows span only 1-2 priority
         # ranges, and repartition(RANGE) alone would funnel the whole append
         # through 1-2 write tasks; salted writers per leaf keep the file
-        # count bounded while using the cluster
-        salt = F.pmod(F.xxhash64(F.col(range_col)), F.lit(8 if bucket_col is None else 2))
+        # count bounded while using the cluster. Host-bucketed tables already
+        # have ranges x num_buckets leaves (>= cores), so they skip the salt:
+        # leaf-dir count is the commit critical path (measured: the frontier
+        # append at 2x salt was the slowest member of the commit pool).
+        salt = F.pmod(F.xxhash64(F.col(range_col)), F.lit(8 if bucket_col is None else 1))
         ranged.repartition(*[F.col(c) for c in part_cols], salt).write.mode(
             "overwrite"
         ).partitionBy(*part_cols).parquet(d)

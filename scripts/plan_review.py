@@ -33,7 +33,60 @@ CHECKS = {
     "near_dup_pairs": ([r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"], [r"CartesianProduct"]),
     "minhash_lsh_pairs": ([], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     "embedding_topk": ([r"TakeOrderedAndProject|WindowGroupLimit"], []),
+    # capped near-dup: bucket-join only, star rule must not introduce a cross
+    "embedding_near_dup": ([], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
+    "lsh_ann_topk": ([r"TakeOrderedAndProject|WindowGroupLimit"], [r"CartesianProduct"]),
+    "ivf_ann_topk": ([r"TakeOrderedAndProject|WindowGroupLimit"], [r"CartesianProduct"]),
 }
+
+
+def custom_checks(spark) -> int:
+    """Operator-level plan assertions that are not driver queries."""
+    import pyspark.sql.functions as F
+
+    from helix_spark.operators.politeness import select_batch
+
+    failures = 0
+
+    # 1) IVF trainer seed pick: k-smallest xxhash64(id) must plan as a
+    #    distributed TakeOrderedAndProject — NOT a partitionless window/sort
+    #    funneling the corpus through one task (VERDICT r2 "What's wrong" #2)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seed_pick = (
+        emb.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
+        .orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
+        .limit(8)
+    )
+    plan = seed_pick._jdf.queryExecution().executedPlan().toString()
+    if "TakeOrderedAndProject" in plan and "Exchange SinglePartition" not in plan:
+        print("PASS ivf_seed_pick: TakeOrderedAndProject, no single-partition funnel")
+    else:
+        print("FAIL ivf_seed_pick: expected TakeOrderedAndProject without SinglePartition")
+        failures += 1
+
+    # 2) politeness: salted phase engages past the straggler threshold
+    #    (two windows, salt key present) and stays out below it (one window)
+    frontier = (
+        spark.range(0, 20000)
+        .select(
+            F.concat(F.lit("http://h"), (F.col("id") % 4).cast("string"),
+                     F.lit(".test/p/"), F.col("id").cast("string")).alias("url"),
+            F.col("id").alias("priority"),
+            F.concat(F.lit("h"), (F.col("id") % 4).cast("string"), F.lit(".test")).alias("host"),
+        )
+        .withColumn("url_hash", F.xxhash64("url"))
+        .repartition(8)
+    )
+    salted = select_batch(frontier, None, 0, 10, salt_partitions=8, salt_reduce_threshold=0)
+    plain = select_batch(frontier, None, 0, 10, salt_partitions=8, salt_reduce_threshold=10**12)
+    sp = salted._jdf.queryExecution().executedPlan().toString()
+    pp = plain._jdf.queryExecution().executedPlan().toString()
+    if "__salt" in sp and "WindowGroupLimit" in sp and "__salt" not in pp:
+        print("PASS politeness_salt: two-phase plan past threshold, single window below")
+    else:
+        print("FAIL politeness_salt: salted/plain plan shapes wrong")
+        failures += 1
+    return failures
 
 
 def main() -> int:
@@ -71,8 +124,10 @@ def main() -> int:
             print(f"PASS {name}: " + (" | ".join(hits) if hits else "clean"))
         else:
             failures += 1
+    failures += custom_checks(spark)
+    n_total = len(CHECKS) + 2
     spark.stop()
-    print(f"{len(CHECKS) - failures}/{len(CHECKS)} plan checks pass")
+    print(f"{n_total - failures}/{n_total} plan checks pass")
     return 1 if failures else 0
 
 

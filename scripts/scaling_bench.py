@@ -2,35 +2,43 @@
 
 Runs the IDENTICAL frontier-processing job — bootstrap a large URL backlog,
 then politeness waves of select → verify → route → extract → admit →
-commit — at local[8] and local[32] on the same deterministic input, and
+commit — at local[N] and local[4N] on the same deterministic input, and
 reports throughput at both plus scaling efficiency
-  eff = (urls_per_sec_32 / urls_per_sec_8) / (32/8).
+  eff = (urls_per_sec_4N / urls_per_sec_N) / 4.
+
+Each configuration runs in its OWN subprocess (fresh JVM): PySpark keeps
+one JVM per Python process across SparkSession restarts, so running both
+legs in-process hands the second leg a heap/GC state churned by the first —
+measured as 51 s vs 85 s wall for the identical local[16] wave. Fresh JVMs
+per leg is also what two real spark-submit runs would do.
 
 Results go into BENCH/BASELINE.md. Usage:
-  python scripts/scaling_bench.py [pages] [waves]
+  python scripts/scaling_bench.py [pages] [waves] [N]
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
 
-from helix_spark.config import CrawlConfig  # noqa: E402
-from helix_spark.plans.crawl import CrawlEngine  # noqa: E402
-from helix_spark.session import get_spark  # noqa: E402
-from helix_spark.sources.synthetic import gen_pages_spark  # noqa: E402
-
-PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-WAVES = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-N_CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+WAVES = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+N_CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 H = 256
 
 
 def run_config(cpus: int) -> dict:
+    from helix_spark.config import CrawlConfig
+    from helix_spark.plans.crawl import CrawlEngine
+    from helix_spark.session import get_spark
+    from helix_spark.sources.synthetic import gen_pages_spark
+
     spark = get_spark(
         app_name=f"helix-scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -75,11 +83,38 @@ def run_config(cpus: int) -> dict:
     }
 
 
+def run_in_subprocess(cpus: int) -> dict:
+    env = dict(os.environ, HELIX_SCALING_ONE=str(cpus))
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), str(PAGES), str(WAVES), str(N_CPUS)],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"subprocess local[{cpus}] produced no result:\n{p.stderr[-2000:]}")
+
+
 def main():
-    rN, r4N = run_config(N_CPUS), run_config(4 * N_CPUS)
+    one = os.environ.get("HELIX_SCALING_ONE")
+    if one:
+        print(json.dumps(run_config(int(one))))
+        return
+    # best-of-2 per leg, all samples reported: single samples on this shared
+    # box vary ±20% (page cache, turbo residency), which is larger than the
+    # efficiency differences under test
+    runs = int(os.environ.get("HELIX_SCALING_RUNS", "2"))
+    legs = {}
+    samples = {}
+    for cpus in (N_CPUS, 4 * N_CPUS):
+        rs = [run_in_subprocess(cpus) for _ in range(runs)]
+        samples[f"local{cpus}_samples_sec"] = [r["sec"] for r in rs]
+        legs[cpus] = min(rs, key=lambda r: r["sec"])
+    rN, r4N = legs[N_CPUS], legs[4 * N_CPUS]
     eff = (r4N["urls_per_sec"] / rN["urls_per_sec"]) / 4.0
     out = {"pages": PAGES, "waves": WAVES,
            f"local{N_CPUS}": rN, f"local{4 * N_CPUS}": r4N,
+           **samples,
            "scaling_efficiency": round(eff, 3)}
     print(json.dumps(out, indent=1))
 
