@@ -137,6 +137,9 @@ class CrawlEngine:
             "html",
         ).localCheckpoint()
         self.assets = page_assets.localCheckpoint()
+        # static per crawl: asset-free crawls skip the asset join/window/
+        # count stages in every wave's admission plan (_collect_admissions)
+        self._has_assets = not self.assets.isEmpty()
         self.robots = robots.localCheckpoint()
         self.seed_canon = [
             canonicalize_url_py(s, None, cfg.sort_query)[0] for s in cfg.seeds
@@ -977,39 +980,49 @@ class CrawlEngine:
         pages = renderable.select(
             F.col("final_url"), F.col("priority"), F.col("host").alias("page_host")
         )
-        assets = pages.join(
-            self.assets.withColumnRenamed("page_url", "final_url"), on="final_url", how="inner"
-        )
-        if not cfg.include_redirect_urls_in_report:
-            # sub-resource redirect suppression (HtmlRenderer.cs:86-87)
-            assets = assets.filter(
-                ~((F.col("status_code") >= 300) & (F.col("status_code") < 400))
+        asset_items = None
+        asset_counts = None
+        if self._has_assets:
+            # captured sub-resources: join + document-order window + per-page
+            # counts (three shuffle stages) — built only when the crawl's
+            # static asset capture is non-empty, so asset-free crawls don't
+            # pay the stages every wave
+            assets = pages.join(
+                self.assets.withColumnRenamed("page_url", "final_url"), on="final_url", how="inner"
             )
-        w = Window.partitionBy("final_url").orderBy("seq")
-        assets = assets.withColumn("__aseq", F.row_number().over(w) - 1)
-        asset_counts = assets.groupBy("final_url").agg(F.count("*").alias("__n_assets"))
-        asset_items = assets.select(
-            F.col("asset_url").alias("raw"),
-            F.col("asset_url").alias("resolved"),
-            F.col("final_url").alias("parent_url"),
-            F.col("page_host").alias("parent_host"),
-            F.lit(False).alias("is_extracted"),
-            F.col("status_code").cast("int").alias("status_pre"),
-            F.col("content_type").alias("ctype_pre"),
-            F.col("size").cast("long").alias("size_pre"),
-            F.lit(None).cast("boolean").alias("is_internal_admit"),
-            F.col("priority").alias("parent_priority"),
-            F.col("__aseq").cast("int").alias("seq"),
-        )
+            if not cfg.include_redirect_urls_in_report:
+                # sub-resource redirect suppression (HtmlRenderer.cs:86-87)
+                assets = assets.filter(
+                    ~((F.col("status_code") >= 300) & (F.col("status_code") < 400))
+                )
+            w = Window.partitionBy("final_url").orderBy("seq")
+            assets = assets.withColumn("__aseq", F.row_number().over(w) - 1)
+            asset_counts = assets.groupBy("final_url").agg(F.count("*").alias("__n_assets"))
+            asset_items = assets.select(
+                F.col("asset_url").alias("raw"),
+                F.col("asset_url").alias("resolved"),
+                F.col("final_url").alias("parent_url"),
+                F.col("page_host").alias("parent_host"),
+                F.lit(False).alias("is_extracted"),
+                F.col("status_code").cast("int").alias("status_pre"),
+                F.col("content_type").alias("ctype_pre"),
+                F.col("size").cast("long").alias("size_pre"),
+                F.lit(None).cast("boolean").alias("is_internal_admit"),
+                F.col("priority").alias("parent_priority"),
+                F.col("__aseq").cast("int").alias("seq"),
+            )
 
         to_render = pages.join(self.pages_html, on="final_url", how="inner")
         # JVM extraction (regexp_extract_all + column-expr resolver): no
         # Python workers or Arrow transfer of page HTML in the hot path
         links = extract_links_jvm(to_render, url_col="final_url", html_col="html",
                                   resolver=self._link_resolver)
-        links = links.join(asset_counts, on="final_url", how="left").withColumn(
-            "__offset", F.coalesce(F.col("__n_assets"), F.lit(0))
-        )
+        if asset_counts is not None:
+            links = links.join(asset_counts, on="final_url", how="left").withColumn(
+                "__offset", F.coalesce(F.col("__n_assets"), F.lit(0))
+            )
+        else:
+            links = links.withColumn("__offset", F.lit(0))
         link_items = links.select(
             F.col("href").alias("raw"),
             F.col("resolved_url").alias("resolved"),
@@ -1023,7 +1036,9 @@ class CrawlEngine:
             F.col("priority").alias("parent_priority"),
             (F.col("seq") + F.col("__offset")).cast("int").alias("seq"),
         )
-        out = requeues.unionByName(asset_items).unionByName(link_items)
+        out = requeues.unionByName(link_items)
+        if asset_items is not None:
+            out = out.unionByName(asset_items)
         for f in ADMIT_SCHEMA.fields:
             out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
         return out.select([f.name for f in ADMIT_SCHEMA.fields])
