@@ -155,10 +155,14 @@ def ngram_jaccard_pairs(
                 f"{assert_max_docs}. Corpus-wide exact Jaccard is quadratic "
                 f"— use near_dup_pairs (LSH-pruned) instead."
             )
+    # materialize the shingle explode once: it is referenced THREE times
+    # (sizes + both join sides) and the md5/shingle transform forest would
+    # otherwise run per reference (the same CollapseProject landmine the
+    # near-dup pipeline already guards against)
     sh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
