@@ -944,6 +944,38 @@ FROM scored QUALIFY rank <= {k}
 """
 
 
+def q_near_dup_components(spark, sf):
+    """The union-find CONSUMER of the near-dup pipeline: connected
+    components over the verified near-dup pairs. Every document gets
+    component_id = the smallest doc id reachable through near-dup pairs
+    (singletons are their own component) — the key a keep-one-per-cluster
+    dedup pass deletes against. The hot-bucket star rule doubles as a
+    convergence guarantee: star candidates keep cluster diameters small,
+    so the min-label propagation fixpoints in a few rounds."""
+    from helix_spark.operators.textdedup import connected_components, near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = near_dup_pairs(docs, k=8, bands=4, threshold=0.2,
+                           max_bucket_size=NEAR_DUP_CAP)
+    return connected_components(pairs, docs.select("doc_id"))
+
+
+def _sql_near_dup_components(cap: int = NEAR_DUP_CAP) -> str:
+    """Exact SQL twin: transitive closure via a recursive CTE over the
+    symmetrized near-dup pair set, component = min reachable node."""
+    inner = _sql_near_dup(cap=cap)
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+sym(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+)
+SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY node
+"""
+
+
 def q_image_decode_stats(spark, sf):
     """Multimodal plumbing on generated payloads (testdata has no images
     table): decode 48 deterministic images, recompute phash — rows-only."""
@@ -994,6 +1026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_components": q_near_dup_components,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "image_decode_stats": q_image_decode_stats,
@@ -1029,6 +1062,7 @@ ORACLE: dict[str, str] = {
     "simhash": _sql_simhash(),
     "minhash_lsh_pairs": _sql_lsh_pairs(),
     "near_dup_pairs": _sql_near_dup(cap=NEAR_DUP_CAP),
+    "near_dup_components": _sql_near_dup_components(),
     "lsh_ann_topk": _sql_lsh_ann_topk(),
     "ivf_ann_topk": _sql_ivf_ann_topk(),
     # image_decode_stats / payload_verify: rows-only (binary decode has no

@@ -268,3 +268,63 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ones = F.size(F.filter(arr, _one_bit(i)))
         val = val + F.when(ones * 2 > n, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
     return with_ints.select(F.col(id_col), val.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame,
+    id_a: str = "id_a", id_b: str = "id_b", node_col: str = "doc_id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the union-find
+    consumer of the near-dup pipelines: every document gets
+    ``component_id`` = the smallest doc id reachable through near-duplicate
+    pairs (documents in no pair are their own singleton component), which
+    is exactly what a keep-one-per-cluster dedup pass keys on.
+
+    Implementation: min-label propagation as iterative DataFrame joins —
+    each round every node adopts the minimum label among itself and its
+    neighbors; fixpoint when the label-sum stops changing (labels only
+    ever decrease, so the sum is a strictly-decreasing convergence
+    witness — no row-level comparison join needed). Each round is
+    localCheckpointed (iterative-loop lineage landmine) and the previous
+    round's blocks are freed.
+
+    Scale posture: rounds = graph diameter. The near-dup generators cap
+    hot buckets with STAR pairs (all members → min id), which keeps
+    cluster diameters small by construction, so a handful of rounds
+    suffice; for adversarial long-chain graphs the known scale path is
+    alternating large-star/small-star (O(log n) rounds) — same join
+    shapes, more bookkeeping. Never materializes anything O(n²): each
+    round is |E|+|V| join/aggregate work.
+    """
+    from helix_spark.operators.rank import free_local_checkpoint
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("component"))
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        new_sum = new.agg(F.sum("component")).collect()[0][0]
+        free_local_checkpoint(labels)
+        labels = new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    free_local_checkpoint(edges)
+    return labels.select(F.col("node").alias(node_col), "component")

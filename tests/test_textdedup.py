@@ -136,3 +136,46 @@ def test_ngram_jaccard_max_docs_guard(spark):
         ngram_jaccard_pairs(docs, assert_max_docs=10)
     # under the bound: runs
     assert ngram_jaccard_pairs(docs, assert_max_docs=100).count() > 0
+
+
+def test_connected_components_basic(spark):
+    """Chains, merged stars, singletons: component = min reachable id."""
+    from helix_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (via consecutive pairs), star 10-(11,12), bridge 12-3,
+        # isolated pair 20-21; node 30 in no pair
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (12, 3), (20, 21)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in [1, 2, 3, 4, 10, 11, 12, 20, 21, 30]], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 1, 11: 1, 12: 1,
+                   20: 20, 21: 20, 30: 30}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 20-hop chain needs ~diameter rounds; must still fixpoint exactly."""
+    from helix_spark.operators.textdedup import connected_components
+
+    n = 21
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    got = connected_components(pairs, nodes).collect()
+    assert all(r["component"] == 1 for r in got) and len(got) == n
+
+
+def test_connected_components_empty_pairs(spark):
+    from helix_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 2}
