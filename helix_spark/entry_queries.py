@@ -976,6 +976,100 @@ SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY n
 """
 
 
+def q_simhash_near_dup(spark, sf):
+    """SimHash-Hamming near-dup pairs: band-bucket candidates + exact
+    bit_count(xor) verify. With bands > max_hamming the pigeonhole makes
+    the result EXACTLY all pairs within the Hamming radius (see
+    operators/textdedup.simhash_near_dup_pairs)."""
+    from helix_spark.operators.textdedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    return simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3)
+
+
+def _sql_simhash_near_dup(bits: int = 16, bands: int = 4,
+                          max_hamming: int = 3) -> str:
+    inner = _sql_simhash(bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    slice_sel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS slice FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({inner}),
+ex AS ({slice_sel})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM ex a JOIN ex b ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+
+# portable (Java regex == RE2) PII patterns: no lookaround, no backrefs
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"\+1-555-\d{4}"
+
+
+def q_pii_redact(spark, sf):
+    """Training-data PII scrubbing: synthesize log lines carrying an email,
+    an IPv4, and a phone number from event columns (the battery's standard
+    trick for exercising string kernels on deterministic data), then redact
+    all three with global regexp_replace and count what was removed. The
+    patterns are lookaround-free so Java regex and RE2 agree."""
+    ev = _t(spark, sf, "events")
+    text = F.concat(
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit(" <u"), F.col("user_id").cast("string"),
+        F.lit("@mail"), (F.col("event_id") % 20).cast("string"),
+        F.lit(".example.com> logged in from 10."),
+        (F.col("user_id") % 256).cast("string"), F.lit("."),
+        (F.col("event_id") % 256).cast("string"), F.lit("."),
+        (F.abs(F.col("value")) % 256).cast("string"),
+        F.lit(" callback +1-555-"),
+        F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4_RE), F.lit("<IP>"),
+        ),
+        F.lit(PII_PHONE_RE), F.lit("<PHONE>"),
+    )
+    return ev.select(
+        "event_id",
+        redacted.alias("clean_text"),
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    return f"""
+WITH raw AS (
+  SELECT event_id,
+         'user' || user_id || ' <u' || user_id || '@mail' || (event_id % 20) ||
+         '.example.com> logged in from 10.' || (user_id % 256) || '.' ||
+         (event_id % 256) || '.' || (abs(value) % 256) ||
+         ' callback +1-555-' || lpad((event_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM events
+)
+SELECT event_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{PII_IPV4_RE}', '<IP>', 'g'),
+         '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM raw
+"""
+
+
+
 def q_image_decode_stats(spark, sf):
     """Multimodal plumbing on generated payloads (testdata has no images
     table): decode 48 deterministic images, recompute phash — rows-only."""
@@ -1027,6 +1121,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_components": q_near_dup_components,
+    "simhash_near_dup": q_simhash_near_dup,
+    "pii_redact": q_pii_redact,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "image_decode_stats": q_image_decode_stats,
@@ -1063,6 +1159,8 @@ ORACLE: dict[str, str] = {
     "minhash_lsh_pairs": _sql_lsh_pairs(),
     "near_dup_pairs": _sql_near_dup(cap=NEAR_DUP_CAP),
     "near_dup_components": _sql_near_dup_components(),
+    "simhash_near_dup": _sql_simhash_near_dup(),
+    "pii_redact": _sql_pii_redact(),
     "lsh_ann_topk": _sql_lsh_ann_topk(),
     "ivf_ann_topk": _sql_ivf_ann_topk(),
     # image_decode_stats / payload_verify: rows-only (binary decode has no

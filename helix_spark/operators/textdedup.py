@@ -328,3 +328,57 @@ def connected_components(
         prev_sum = new_sum
     free_local_checkpoint(edges)
     return labels.select(F.col("node").alias(node_col), "component")
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 16, bands: int = 4, max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs — the Hamming-space member of the dedup
+    family (exact / MinHash-Jaccard / embedding-cosine / SimHash-Hamming).
+
+    Band-bucket candidate generation + exact Hamming verify:
+    the ``bits``-bit simhash splits into ``bands`` equal slices; documents
+    sharing ANY slice value become candidates (self-join on (band, slice) —
+    hash-partitioned, never all-pairs); candidates keep the pair iff
+    bit_count(xor(sim_a, sim_b)) ≤ ``max_hamming``.
+
+    EXACTNESS (pigeonhole): with ``bands > max_hamming``, any pair within
+    the Hamming radius differs in ≤ max_hamming bits, which cannot touch
+    all ``bands`` slices — so at least one slice matches and the pair IS a
+    candidate. The default (4 bands, radius 3) therefore returns EXACTLY
+    the pairs with hamming ≤ 3 — complete, not approximate — and a plain
+    SQL oracle reproduces it bit-for-bit (integer simhash, xor, bit_count
+    identical across engines)."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} must divide into bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash64(docs, text_col, id_col, bits).localCheckpoint()
+    slices = []
+    for b in range(bands):
+        slices.append(
+            sig.select(
+                F.col(id_col), F.col("simhash"),
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+            )
+        )
+    exploded = slices[0]
+    for s in slices[1:]:
+        exploded = exploded.unionByName(s)
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "band", "slice"
+    )
+    b_ = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "band", "slice"
+    )
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        a.join(b_, on=["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

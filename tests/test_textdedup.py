@@ -179,3 +179,32 @@ def test_connected_components_empty_pairs(spark):
     nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
     got = {r["doc_id"]: r["component"] for r in connected_components(pairs, nodes).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_simhash_near_dup_pigeonhole_exact(spark):
+    """With bands > max_hamming, the banded candidate set provably covers
+    every pair within the radius — the output must equal the brute-force
+    all-pairs Hamming answer exactly."""
+    from helix_spark.operators.textdedup import simhash64, simhash_near_dup_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact copy
+        "the quick brown fox jumps over the lazy cat again and again",  # near
+        "a completely different document about spark shuffle partitions",
+        "another unrelated text mentioning bloom filters and frontiers",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3).collect()
+    }
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs, bits=16).collect()}
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = bin(sims[i] ^ sims[j]).count("1")
+            if h <= 3:
+                expect[(i, j)] = h
+    assert got == expect
+    assert got[(0, 1)] == 0  # exact copies at hamming 0
