@@ -498,8 +498,13 @@ SELECT doc_id, {', '.join(comps)} FROM ints
 
 
 def q_ngram_jaccard(spark, sf):
+    """Corpus-wide exact Jaccard — the quadratic verify-twin, so the battery
+    runs it WITH the fail-fast guard on: past 20k docs an exact all-pairs
+    run is not a sane request and the operator refuses (use near_dup_pairs,
+    the LSH-pruned scale path, instead)."""
     docs = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2,
+                               assert_max_docs=20_000)
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -978,31 +983,54 @@ SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY n
 
 def q_simhash_near_dup(spark, sf):
     """SimHash-Hamming near-dup pairs: band-bucket candidates + exact
-    bit_count(xor) verify. With bands > max_hamming the pigeonhole makes
-    the result EXACTLY all pairs within the Hamming radius (see
-    operators/textdedup.simhash_near_dup_pairs)."""
+    bit_count(xor) verify, with the identical-signature COLLAPSE guard on
+    (the default): one representative per distinct simhash + hamming-0 star
+    pairs for its members, cross pairs at rep level only — component
+    structure identical to all-pairs, Θ(cluster) instead of Θ(cluster²) on
+    duplicate-heavy corpora. With bands > max_hamming the pigeonhole makes
+    the rep-level pair set EXACTLY the within-radius cluster adjacency
+    (see operators/textdedup.simhash_near_dup_pairs). The oracle reproduces
+    the collapse rule, so the skew-guard semantics are themselves pinned.
+    bits=16 here (not the production default 60) keeps the oracle's 2^i
+    term list readable AND makes sf0.01 actually exercise the collapse
+    (many duplicate signatures)."""
     from helix_spark.operators.textdedup import simhash_near_dup_pairs
 
     docs = _t(spark, sf, "documents")
-    return simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3)
+    return simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3,
+                                  collapse_identical=True)
 
 
 def _sql_simhash_near_dup(bits: int = 16, bands: int = 4,
                           max_hamming: int = 3) -> str:
+    """Collapse-rule twin: group by signature → min-id rep; hamming-0
+    within-group stars ∪ rep-level band-bucket pairs within the radius."""
     inner = _sql_simhash(bits)
     width = bits // bands
     mask = (1 << width) - 1
     slice_sel = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS slice FROM sig"
+        f"SELECT rep, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS slice FROM reps"
         for b in range(bands)
     )
     return f"""
 WITH sig AS ({inner}),
-ex AS ({slice_sel})
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM ex a JOIN ex b ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+grp AS (SELECT simhash, MIN(doc_id) AS rep, COUNT(*) AS n FROM sig GROUP BY simhash),
+within AS (
+  SELECT g.rep AS id_a, s.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+  FROM sig s JOIN grp g ON g.simhash = s.simhash
+  WHERE s.doc_id <> g.rep
+),
+reps AS (SELECT simhash, rep FROM grp),
+ex AS ({slice_sel}),
+cross_pairs AS (
+  SELECT DISTINCT a.rep AS id_a, b.rep AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM ex a JOIN ex b ON a.band = b.band AND a.slice = b.slice AND a.rep < b.rep
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+)
+SELECT id_a, id_b, hamming FROM cross_pairs
+UNION ALL
+SELECT id_a, id_b, hamming FROM within
 """
 
 

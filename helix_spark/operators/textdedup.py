@@ -47,25 +47,30 @@ def minhash_signature(
     k: int = 4, shingle_n: int = 3,
 ) -> DataFrame:
     """k-permutation MinHash over word shingles. Documents with no shingles
-    (shorter than n words) get NULL components."""
-    sh = shingles_col(F.col(text_col), shingle_n)
-    ints = F.transform(sh, lambda s: md5_int60_col(s))
-    # two-step projection: the md5 shingle-int array is referenced k times,
-    # and CollapseProject refuses to re-inline non-cheap expressions — so
-    # this computes the md5s ONCE per row instead of once per permutation
-    # (4x speedup at k=4; 41s → single-digit seconds on 5k docs)
-    with_ints = docs.select(F.col(id_col), ints.alias("__ints"))
+    (shorter than n words) get NULL components. ``id_col`` must be unique
+    per document (duplicate ids would collapse into one signature row).
 
-    def _perm(a, b):
-        # closure factory: PySpark derives lambda arity from the signature,
-        # so default-arg captures (lambda x, a=a) would read as multi-arg
-        return lambda x: ((x % MINHASH_PRIME) * a + b) % MINHASH_PRIME
-
-    cols = [F.col(id_col)]
+    AGGREGATE formulation: explode the shingle md5-ints and take
+    groupBy(id).agg(min(perm_i(x))). Spark evaluates nested
+    transform∘array_min lambda forests INTERPRETED (~2 ms/row regardless of
+    codegen — measured ~200× slower than the same permutation arithmetic in
+    the codegen'd aggregate path, BENCH/PLANS.md), so the explode+min shape
+    is the scale path: the permutation expressions run inside whole-stage
+    codegen with map-side partial aggregation (the shuffle carries one row
+    per doc per partition, not one row per shingle). ``explode_outer``
+    keeps shingle-less docs as a single NULL row → NULL mins, preserving
+    the original NULL-component contract. md5 semantics unchanged — the
+    DuckDB oracle is identical."""
+    ex = docs.select(
+        F.col(id_col),
+        F.explode_outer(shingles_col(F.col(text_col), shingle_n)).alias("__sh"),
+    ).select(F.col(id_col), md5_int60_col(F.col("__sh")).alias("__x"))
+    x = F.col("__x")
+    aggs = []
     for i in range(k):
         a, b = MINHASH_PERMS[i]
-        cols.append(F.array_min(F.transform(F.col("__ints"), _perm(a, b))).alias(f"mh{i}"))
-    return with_ints.select(*cols)
+        aggs.append(F.min(((x % MINHASH_PRIME) * a + b) % MINHASH_PRIME).alias(f"mh{i}"))
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -248,14 +253,25 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash: per token, md5-derived bits vote ±1; bit i of the output is
     set iff more than half the tokens have bit i set (2·ones > n). Pure bit
     ops (shiftright / %) so a plain-SQL oracle reproduces it exactly.
-    ``bits`` kept small so the oracle stays readable."""
+
+    ``bits`` is capped at 60: token hashes are md5-int60 (the portable
+    cross-engine hash — DuckDB has no xxhash64), so only 60 source bits
+    exist; asking for more would silently produce constant high bits. Bits
+    are OR-assembled (shiftleft + bitwiseOR, no additive 2^i literals), so
+    any width up to 60 is overflow-safe."""
     from helix_spark.functions.text import tokens_col
 
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits={bits} out of range [1, 60]: md5-int60 token hashes "
+            f"provide only 60 independent bits"
+        )
     toks = tokens_col(F.col(text_col))
     ints = F.transform(toks, lambda t: md5_int60_col(t))
-    # two-step projection (same fix as minhash_signature above): the md5
-    # token-int array is referenced 2×bits times and CollapseProject will
-    # not re-inline a non-cheap expression — materialize it ONCE per row
+    # two-step projection (same CollapseProject landmine the LSH explode
+    # guards against): the md5 token-int array is referenced 2×bits times
+    # and CollapseProject will not re-inline a non-cheap expression —
+    # materialize it ONCE per row
     with_ints = docs.select(F.col(id_col), ints.alias("__ints"))
     arr = F.col("__ints")
     n = F.size(arr)
@@ -266,73 +282,145 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     val = F.lit(0).cast("long")
     for i in range(bits):
         ones = F.size(F.filter(arr, _one_bit(i)))
-        val = val + F.when(ones * 2 > n, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
+        bit = F.when(
+            ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        val = val.bitwiseOR(bit)
     return with_ints.select(F.col(id_col), val.alias("simhash"))
+
+
+_CC_DIGEST_MOD = 2147483647  # mod-sums keep the digest ANSI-overflow-safe
+
+
+def _edge_digest(edges: DataFrame) -> tuple:
+    """Cheap fixpoint witness for an edge set: count + three mod-sums.
+    Equal digests across rounds ⇒ unchanged set (up to a negligible
+    collision probability); the round function is deterministic in the
+    edge set, so an unchanged set IS the fixpoint."""
+    row = edges.agg(
+        F.count("*"),
+        F.sum(F.col("src") % _CC_DIGEST_MOD),
+        F.sum(F.col("dst") % _CC_DIGEST_MOD),
+        F.sum(F.xxhash64("src", "dst") % _CC_DIGEST_MOD),
+    ).collect()[0]
+    return tuple(row)
 
 
 def connected_components(
     pairs: DataFrame, nodes: DataFrame,
     id_a: str = "id_a", id_b: str = "id_b", node_col: str = "doc_id",
     max_iters: int = 30,
+    _rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the union-find
     consumer of the near-dup pipelines: every document gets
-    ``component_id`` = the smallest doc id reachable through near-duplicate
+    ``component`` = the smallest doc id reachable through near-duplicate
     pairs (documents in no pair are their own singleton component), which
     is exactly what a keep-one-per-cluster dedup pass keys on.
 
-    Implementation: min-label propagation as iterative DataFrame joins —
-    each round every node adopts the minimum label among itself and its
-    neighbors; fixpoint when the label-sum stops changing (labels only
-    ever decrease, so the sum is a strictly-decreasing convergence
-    witness — no row-level comparison join needed). Each round is
-    localCheckpointed (iterative-loop lineage landmine) and the previous
-    round's blocks are freed.
+    Implementation: the ALTERNATING large-star/small-star algorithm
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
+    public algorithm), which converges in O(log n) rounds on ANY graph —
+    including adversarial long-chain graphs where plain min-label
+    propagation needs diameter rounds. Each round:
 
-    Scale posture: rounds = graph diameter. The near-dup generators cap
-    hot buckets with STAR pairs (all members → min id), which keeps
-    cluster diameters small by construction, so a handful of rounds
-    suffice; for adversarial long-chain graphs the known scale path is
-    alternating large-star/small-star (O(log n) rounds) — same join
-    shapes, more bookkeeping. Never materializes anything O(n²): each
-    round is |E|+|V| join/aggregate work.
+    - large-star: symmetrize; for each node u with neighborhood Γ(u),
+      m = min(Γ(u) ∪ {u}); rewire every LARGER neighbor v > u to m.
+    - small-star: orient edges large→small; for each node u with (smaller)
+      neighbors N(u), m = min(N(u)); rewire u and every other member of
+      N(u) to m.
+
+    Both are |E|-sized join/aggregate rounds — never anything O(n²). At
+    the fixpoint the edge set is a forest of depth-1 stars centered at
+    each component's minimum id, read off directly as the labels. Fixpoint
+    detection: the edge-set digest (count + mod-sums) stops changing.
+    Each round is localCheckpointed (iterative-loop lineage landmine) and
+    the previous round's blocks are freed.
+
+    RAISES RuntimeError if max_iters rounds pass without convergence
+    (30 rounds covers any real graph at O(log n); silently returning
+    partial labels would let a keep-one-per-cluster dedup delete against
+    wrong clusters). ``_rounds_out``: internal test hook — if a list is
+    passed, the number of rounds executed is appended to it.
     """
     from helix_spark.operators.rank import free_local_checkpoint
 
+    # canonical orientation: src > dst (self-loops dropped)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
+        )
         .distinct()
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    prev = _edge_digest(edges)
+    converged = False
+    rounds = 0
     for _ in range(max_iters):
-        nbr = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), F.col("component"))
+        rounds += 1
+        # large-star
+        sym = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("__m"))
+        m = F.least(F.col("__m"), F.col("src"))
+        ls = (
+            sym.join(mins, on="src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))  # v > u ≥ m
+            .distinct()
+        )
+        # small-star (ls is already large→small oriented: src > dst)
+        mins2 = ls.groupBy("src").agg(F.min("dst").alias("__m"))
+        ss_nbrs = (
+            ls.join(mins2, on="src")
+            .filter(F.col("dst") != F.col("__m"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        )
+        ss_self = mins2.select("src", F.col("__m").alias("dst"))
         new = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            ss_nbrs.unionByName(ss_self)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
             .localCheckpoint()
         )
-        new_sum = new.agg(F.sum("component")).collect()[0][0]
-        free_local_checkpoint(labels)
-        labels = new
-        if new_sum == prev_sum:
+        cur = _edge_digest(new)
+        free_local_checkpoint(edges)
+        edges = new
+        if cur == prev:
+            converged = True
             break
-        prev_sum = new_sum
-    free_local_checkpoint(edges)
+        prev = cur
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
+    if not converged:
+        free_local_checkpoint(edges)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            f"returning partial labels would corrupt a dedup pass keyed on "
+            f"them. The alternating star algorithm needs O(log n) rounds; "
+            f"hitting this bound indicates a pathological input (or raise "
+            f"max_iters)."
+        )
+    # fixpoint edge set = depth-1 stars: src = member, dst = component min
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(
+            edges.select(F.col("src").alias("node"), F.col("dst").alias("component")),
+            on="node", how="left",
+        )
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
     return labels.select(F.col("node").alias(node_col), "component")
 
 
 def simhash_near_dup_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    bits: int = 16, bands: int = 4, max_hamming: int = 3,
+    bits: int = 60, bands: int = 6, max_hamming: int = 3,
+    collapse_identical: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs — the Hamming-space member of the dedup
     family (exact / MinHash-Jaccard / embedding-cosine / SimHash-Hamming).
@@ -343,22 +431,75 @@ def simhash_near_dup_pairs(
     hash-partitioned, never all-pairs); candidates keep the pair iff
     bit_count(xor(sim_a, sim_b)) ≤ ``max_hamming``.
 
-    EXACTNESS (pigeonhole): with ``bands > max_hamming``, any pair within
-    the Hamming radius differs in ≤ max_hamming bits, which cannot touch
-    all ``bands`` slices — so at least one slice matches and the pair IS a
-    candidate. The default (4 bands, radius 3) therefore returns EXACTLY
-    the pairs with hamming ≤ 3 — complete, not approximate — and a plain
-    SQL oracle reproduces it bit-for-bit (integer simhash, xor, bit_count
-    identical across engines)."""
+    SCALE GUARDS (the self-join's two quadratic degenerations, and what
+    kills each):
+
+    1. ``collapse_identical`` (default ON): a boilerplate-heavy corpus puts
+       MANY documents on the SAME simhash value — those co-bucket in every
+       band, so the raw self-join is Θ(cluster²) per duplicate cluster
+       regardless of bits/bands. Collapsing first — one representative
+       (min id) per distinct signature, plus a within-group STAR pair
+       (rep, member, hamming=0) for every other member — makes that
+       Θ(cluster) while preserving the component structure EXACTLY:
+       identical-signature members have identical Hamming distance to
+       everything, so rep-level cross pairs carry precisely the
+       cluster-adjacency the all-pairs output would, and connected
+       components over (stars ∪ rep pairs) equal components over the
+       uncollapsed output. Pair ROWS differ from the raw all-pairs form
+       (m·k cross pairs become one rep pair) — the dedup consumer
+       (connected_components → keep-best) is indifferent.
+    2. ``max_bucket_size``: many DISTINCT signatures sharing one slice
+       value (low-entropy band) would still make a bucket quadratic.
+       Over-cap buckets emit STAR candidates instead — every member paired
+       with the bucket's min-id representative — exactly the hot-bucket
+       rule of ``minhash_lsh_pairs`` / ``embedding_near_dup_pairs``
+       (textdedup.py minhash_lsh_pairs is the template). Star candidates
+       still pass the Hamming verify, so the radius contract holds; the
+       trade (as in the siblings) is possible missed member-member pairs
+       inside an over-cap bucket. None = exact candidates.
+
+    EXACTNESS (pigeonhole): with ``bands > max_hamming`` and no bucket cap,
+    any pair within the Hamming radius differs in ≤ max_hamming bits, which
+    cannot touch all ``bands`` slices — so at least one slice matches and
+    the pair IS a candidate: the result is EXACTLY the within-radius pair
+    set (at signature-cluster granularity when collapsing). A plain SQL
+    oracle reproduces it bit-for-bit (integer simhash, xor, bit_count,
+    group-by-signature identical across engines).
+
+    Defaults: bits=60 (the md5-int60 ceiling — 60 independent bits keeps
+    duplicate-signature collisions rare on real corpora; 16 was 64 total
+    slice values across 4 bands, a guaranteed blowup), bands=6 → 10-bit
+    slices (1024 values per band) and pigeonhole-complete for radius ≤ 5."""
     if bits % bands != 0:
         raise ValueError(f"bits={bits} must divide into bands={bands}")
     width = bits // bands
     mask = (1 << width) - 1
     sig = simhash64(docs, text_col, id_col, bits).localCheckpoint()
+
+    within = None
+    base = sig
+    if collapse_identical:
+        groups = sig.groupBy("simhash").agg(
+            F.min(id_col).alias("__rep"), F.count("*").alias("__n")
+        )
+        within = (
+            sig.join(
+                groups.filter(F.col("__n") > 1).select("simhash", "__rep"),
+                on="simhash",
+            )
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("long").alias("hamming"),
+            )
+        )
+        base = groups.select(F.col("__rep").alias(id_col), "simhash")
+
     slices = []
     for b in range(bands):
         slices.append(
-            sig.select(
+            base.select(
                 F.col(id_col), F.col("simhash"),
                 F.lit(b).alias("band"),
                 F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("slice"),
@@ -367,18 +508,58 @@ def simhash_near_dup_pairs(
     exploded = slices[0]
     for s in slices[1:]:
         exploded = exploded.unionByName(s)
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "band", "slice"
-    )
-    b_ = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "band", "slice"
-    )
+
+    if max_bucket_size is not None:
+        stats = exploded.groupBy("band", "slice").agg(
+            F.count("*").alias("__n"),
+            # min by id, carrying the rep's simhash for the star verify
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))).alias("__rep"),
+        )
+        tagged = exploded.join(stats, on=["band", "slice"])
+        small = tagged.filter(F.col("__n") <= max_bucket_size)
+        a = small.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "band", "slice"
+        )
+        b_ = small.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "band", "slice"
+        )
+        cand = (
+            a.join(b_, on=["band", "slice"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__sa", "__sb")
+        )
+        star = (
+            tagged.filter(
+                (F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__rep.i"))
+            )
+            .select(
+                F.col("__rep.i").alias("id_a"), F.col(id_col).alias("id_b"),
+                F.col("__rep.s").alias("__sa"), F.col("simhash").alias("__sb"),
+            )
+        )
+        cand = cand.unionByName(star)
+    else:
+        a = exploded.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "band", "slice"
+        )
+        b_ = exploded.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "band", "slice"
+        )
+        cand = (
+            a.join(b_, on=["band", "slice"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__sa", "__sb")
+        )
+
     ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
-    return (
-        a.join(b_, on=["band", "slice"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham.cast("long"))
+    out = (
+        cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+    if within is not None:
+        # disjoint by construction: cross/star pairs join DISTINCT
+        # signatures (hamming ≥ 1), within pairs are hamming 0
+        out = out.unionByName(within)
+    return out

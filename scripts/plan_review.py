@@ -37,6 +37,12 @@ CHECKS = {
     "embedding_near_dup": ([], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     "lsh_ann_topk": ([r"TakeOrderedAndProject|WindowGroupLimit"], [r"CartesianProduct"]),
     "ivf_ann_topk": ([r"TakeOrderedAndProject|WindowGroupLimit"], [r"CartesianProduct"]),
+    # collapse rule ON: the (band, slice) self-join runs over the
+    # group-by-signature rep relation, never a raw cartesian
+    "simhash_near_dup": (
+        [r"HashAggregate\(keys=\[simhash"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
@@ -86,6 +92,29 @@ def custom_checks(spark) -> int:
     else:
         print("FAIL politeness_salt: salted/plain plan shapes wrong")
         failures += 1
+
+    # 3) simhash near-dup DEFAULT config: the identical-signature collapse
+    #    must be engaged (group-by-simhash aggregate upstream of the band
+    #    self-join), so no raw per-document (band, slice) self-join runs
+    #    uncapped out of the box (VERDICT r3 "What's wrong" #1)
+    from helix_spark.operators.textdedup import simhash_near_dup_pairs
+
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("sample document text number "), F.col("id").cast("string"),
+                 F.lit(" with shared boilerplate words")).alias("text"),
+    )
+    nd_plan = (
+        simhash_near_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    if (
+        re.search(r"HashAggregate\(keys=\[simhash", nd_plan)
+        and "CartesianProduct" not in nd_plan
+    ):
+        print("PASS simhash_collapse_default: group-by-signature feeds the band self-join")
+    else:
+        print("FAIL simhash_collapse_default: default plan lacks the collapse aggregate")
+        failures += 1
     return failures
 
 
@@ -125,7 +154,7 @@ def main() -> int:
         else:
             failures += 1
     failures += custom_checks(spark)
-    n_total = len(CHECKS) + 2
+    n_total = len(CHECKS) + 3
     spark.stop()
     print(f"{n_total - failures}/{n_total} plan checks pass")
     return 1 if failures else 0

@@ -181,23 +181,60 @@ def test_connected_components_empty_pairs(spark):
     assert got == {1: 1, 2: 2}
 
 
+def test_connected_components_path_graph_log_rounds(spark):
+    """The adversarial case for min-label propagation: a 10^4-node path
+    needs ~diameter rounds there; the alternating large-star/small-star
+    algorithm must converge in ≤ 2·log₂(n) rounds — and exactly."""
+    import math
+
+    from helix_spark.operators.textdedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(1, n).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    nodes = spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
+    rounds: list[int] = []
+    got = connected_components(pairs, nodes, _rounds_out=rounds).collect()
+    assert len(got) == n and all(r["component"] == 1 for r in got)
+    assert rounds[0] <= 2 * math.log2(n)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Partial labels would corrupt a keep-one-per-cluster dedup — the
+    operator must refuse rather than return them (ADVICE round 3)."""
+    from helix_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 41)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iters=1)
+
+
+SIMHASH_TEXTS = [
+    "the quick brown fox jumps over the lazy dog again and again",
+    "the quick brown fox jumps over the lazy dog again and again",  # exact copy
+    "the quick brown fox jumps over the lazy cat again and again",  # near
+    "a completely different document about spark shuffle partitions",
+    "another unrelated text mentioning bloom filters and frontiers",
+]
+
+
 def test_simhash_near_dup_pigeonhole_exact(spark):
-    """With bands > max_hamming, the banded candidate set provably covers
-    every pair within the radius — the output must equal the brute-force
-    all-pairs Hamming answer exactly."""
+    """With bands > max_hamming and both scale guards off, the banded
+    candidate set provably covers every pair within the radius — the output
+    must equal the brute-force all-pairs Hamming answer exactly."""
     from helix_spark.operators.textdedup import simhash64, simhash_near_dup_pairs
 
-    texts = [
-        "the quick brown fox jumps over the lazy dog again and again",
-        "the quick brown fox jumps over the lazy dog again and again",  # exact copy
-        "the quick brown fox jumps over the lazy cat again and again",  # near
-        "a completely different document about spark shuffle partitions",
-        "another unrelated text mentioning bloom filters and frontiers",
-    ]
+    texts = SIMHASH_TEXTS
     docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_near_dup_pairs(docs, bits=16, bands=4, max_hamming=3).collect()
+        for r in simhash_near_dup_pairs(
+            docs, bits=16, bands=4, max_hamming=3, collapse_identical=False
+        ).collect()
     }
     sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs, bits=16).collect()}
     expect = {}
@@ -208,3 +245,110 @@ def test_simhash_near_dup_pigeonhole_exact(spark):
                 expect[(i, j)] = h
     assert got == expect
     assert got[(0, 1)] == 0  # exact copies at hamming 0
+
+
+def test_simhash_collapse_preserves_components(spark):
+    """collapse_identical changes the pair ROWS (rep-level cross pairs +
+    hamming-0 stars) but must leave the component structure identical to
+    the raw all-pairs output — the property the dedup consumer relies on."""
+    from helix_spark.operators.textdedup import (
+        connected_components,
+        simhash_near_dup_pairs,
+    )
+
+    # duplicate-heavy corpus: several copies of each base text
+    texts = [(i * 10 + c, t) for i, t in enumerate(SIMHASH_TEXTS) for c in range(3)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string").localCheckpoint()
+    nodes = docs.select("doc_id")
+
+    def comps(pairs):
+        return {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs, nodes).collect()
+        }
+
+    raw = comps(simhash_near_dup_pairs(
+        docs, bits=16, bands=4, max_hamming=3, collapse_identical=False))
+    collapsed = comps(simhash_near_dup_pairs(
+        docs, bits=16, bands=4, max_hamming=3, collapse_identical=True))
+    assert collapsed == raw
+    # and the collapsed pair list is strictly smaller on this corpus
+    n_raw = simhash_near_dup_pairs(
+        docs, bits=16, bands=4, max_hamming=3, collapse_identical=False).count()
+    n_col = simhash_near_dup_pairs(
+        docs, bits=16, bands=4, max_hamming=3, collapse_identical=True).count()
+    assert n_col < n_raw
+
+
+def test_simhash_degenerate_corpus_linear(spark):
+    """All-identical corpus — the blowup the collapse guard exists for:
+    n docs on ONE signature must come back as exactly n−1 hamming-0 star
+    pairs (rep = min id), i.e. O(n) output, not n(n−1)/2."""
+    from helix_spark.operators.textdedup import simhash_near_dup_pairs
+
+    n = 3000
+    clones = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere again and again")
+         for i in range(1, n + 1)],
+        "doc_id long, text string",
+    )
+    rows = simhash_near_dup_pairs(clones).collect()  # production defaults
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 1 and r["hamming"] == 0 for r in rows)
+    assert {r["id_b"] for r in rows} == set(range(2, n + 1))
+
+
+def test_simhash_near_dup_bucket_cap_star_rule(spark):
+    """max_bucket_size: over-cap (band, slice) buckets emit star candidates
+    (bucket min id × member) which still pass the Hamming verify — checked
+    against a Python replication of the exact star rule."""
+    from helix_spark.operators.textdedup import simhash64, simhash_near_dup_pairs
+
+    bits, bands, radius, cap = 16, 4, 3, 1
+    docs = spark.createDataFrame(
+        list(enumerate(SIMHASH_TEXTS)), "doc_id long, text string"
+    ).localCheckpoint()
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs, bits=bits).collect()}
+    width = bits // bands
+    mask = (1 << width) - 1
+    cand = set()
+    for b in range(bands):
+        buckets: dict[int, list[int]] = {}
+        for d, s in sims.items():
+            buckets.setdefault((s >> (b * width)) & mask, []).append(d)
+        for members in buckets.values():
+            members.sort()
+            if len(members) <= cap:
+                cand.update(
+                    (members[i], members[j])
+                    for i in range(len(members))
+                    for j in range(i + 1, len(members))
+                )
+            else:
+                cand.update((members[0], m) for m in members[1:])
+    expect = {
+        (a, b): bin(sims[a] ^ sims[b]).count("1")
+        for a, b in cand
+        if bin(sims[a] ^ sims[b]).count("1") <= radius
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            docs, bits=bits, bands=bands, max_hamming=radius,
+            collapse_identical=False, max_bucket_size=cap,
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_simhash64_bits_range_guard(spark):
+    from helix_spark.operators.textdedup import simhash64
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="60"):
+        simhash64(docs, bits=61)
+    with pytest.raises(ValueError, match="60"):
+        simhash64(docs, bits=0)
+    # full 60-bit width works and stays a positive long
+    val = simhash64(docs, bits=60).collect()[0]["simhash"]
+    assert 0 <= val < 1 << 60
