@@ -831,9 +831,11 @@ WHERE floor(1000.0 * n_common / (sa.n_sh + sb.n_sh - n_common)) >= {threshold_mi
 
 def q_lsh_ann_topk(spark, sf):
     """Approximate NN via hyperplane-LSH bucket scan with one-flip
-    multiprobe. Bucketing is integer-quantized (floor(x·100)), so bucket
-    membership — and therefore the whole result — is SQL-exact-oracled;
-    recall@10 vs brute force is additionally asserted in
+    multiprobe. Bucketing is integer-quantized (floor(x·100)) AND ranking
+    runs on the integer-exact quantized_topk key (floor(x·10⁶) vectors) —
+    the whole result incl. ranks is SQL-exact-oracled with no bitwise-
+    double assumption (round-3 ADVICE); recall@10 vs brute force is
+    additionally asserted in
     tests/test_similarity.py::test_lsh_ann_recall_multiprobe."""
     from helix_spark.operators.similarity import lsh_ann_topk
 
@@ -842,10 +844,40 @@ def q_lsh_ann_topk(spark, sf):
     return lsh_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=3, multiprobe=1)
 
 
+def _sql_exact_dot(a: str, b: str) -> str:
+    """EXACT BIGINT dot product (list_dot_product returns DOUBLE — rounds
+    above 2^53, which would break the integer rank key)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+# integer-exact ANN rank key (quantized_topk twin): sign(dot)·(dot²·10⁴ div
+# n2) over floor(x·10⁶) vectors — dot² in HUGEINT (the Spark side uses
+# decimal(38,0); `div`/`//` verified bit-identical). Both engines compute
+# the SAME integer, so ranks can never flip at a float boundary (round-3
+# ADVICE); cos_e4 derives from the same integers through one fixed double
+# expression.
+_SQL_ANN_RANK = """
+SELECT vec_id,
+       row_number() OVER (ORDER BY
+         CASE WHEN n2 = 0 THEN 0
+              WHEN dot >= 0 THEN (dot::HUGEINT * dot * 10000) // greatest(n2, 1)
+              ELSE -((dot::HUGEINT * dot * 10000) // greatest(n2, 1)) END DESC,
+         vec_id) AS rank,
+       CASE WHEN n2 = 0 THEN 0
+            ELSE CAST(floor(10000.0 * dot / sqrt(CAST(n2 AS DOUBLE) * CAST(qn2 AS DOUBLE))) AS BIGINT)
+       END AS cos_e4
+FROM scored QUALIFY rank <= {k}
+"""
+
+
 def _sql_lsh_ann_topk(k: int = 10, n_planes: int = 3, quant: int = 100,
                       dim: int = EMB_ORACLE_DIM) -> str:
     """Multiprobe=1 probe set IN SQL: the query row's own integer sign-bit
-    bucket plus its n_planes one-flip (xor) neighbors."""
+    bucket plus its n_planes one-flip (xor) neighbors; ranking by the
+    integer-exact quantized-cosine key (_SQL_ANN_RANK)."""
     from helix_spark.operators.similarity import quantized_planes
 
     qplanes = quantized_planes(dim, n_planes, quant)
@@ -853,23 +885,26 @@ def _sql_lsh_ann_topk(k: int = 10, n_planes: int = 3, quant: int = 100,
         ["t.bucket = qb.qbits"]
         + [f"t.bucket = xor(qb.qbits, {1 << i})" for i in range(n_planes)]
     )
+    from helix_spark.operators.similarity import ANN_SCORE_QUANT
+
     return f"""
 WITH q AS (
-  SELECT embedding::DOUBLE[] AS qv, {_sql_quant_list('embedding', quant)} AS qq
+  SELECT {_sql_quant_list('embedding', quant)} AS qq,
+         {_sql_quant_list('embedding', ANN_SCORE_QUANT)} AS qs
   FROM embeddings WHERE vec_id = 0
 ), qb AS (
   SELECT CAST({_sql_bucket_terms(qplanes, 'qq')} AS BIGINT) AS qbits FROM q
 ), tagged AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
+  SELECT vec_id, {_sql_quant_list('embedding', ANN_SCORE_QUANT)} AS vs,
          CAST({_sql_bucket_terms(qplanes, _sql_quant_list('embedding', quant))} AS BIGINT) AS bucket
   FROM embeddings WHERE vec_id > 0
 ), scored AS (
-  SELECT t.vec_id, list_cosine_similarity(t.v, q.qv) AS cos
+  SELECT t.vec_id, {_sql_exact_dot('t.vs', 'q.qs')} AS dot,
+         {_sql_exact_dot('t.vs', 't.vs')} AS n2,
+         {_sql_exact_dot('q.qs', 'q.qs')} AS qn2
   FROM tagged t, qb, q WHERE {probe_cond}
 )
-SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
-       CAST(floor(cos * 10000) AS BIGINT) AS cos_e4
-FROM scored QUALIFY rank <= {k}
+{_SQL_ANN_RANK.format(k=k)}
 """
 
 
@@ -921,9 +956,12 @@ def _sql_ivf_ann_topk(k: int = 10, n_centroids: int = IVF_ORACLE_K,
     assign = "CASE " + " ".join(
         f"WHEN d{i} = m THEN {i}" for i in range(n_centroids)
     ) + " END"
+    from helix_spark.operators.similarity import ANN_SCORE_QUANT as _ANN_SCORE_QUANT
+
     return f"""
 WITH q AS (
-  SELECT embedding::DOUBLE[] AS qv, {_sql_quant_list('embedding', quant)} AS qq
+  SELECT {_sql_quant_list('embedding', quant)} AS qq,
+         {_sql_quant_list('embedding', _ANN_SCORE_QUANT)} AS qs
   FROM embeddings WHERE vec_id = 0
 ), cents AS (
   SELECT * FROM (VALUES {cent_rows}) AS t(i, c, c2)
@@ -932,20 +970,21 @@ WITH q AS (
   ORDER BY list_dot_product(qq, qq) - 2 * list_dot_product(qq, c) + c2, i
   LIMIT {nprobe}
 ), base AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, {_sql_quant_list('embedding', quant)} AS vq
+  SELECT vec_id, {_sql_quant_list('embedding', quant)} AS vq,
+         {_sql_quant_list('embedding', _ANN_SCORE_QUANT)} AS vs
   FROM embeddings WHERE vec_id > 0
 ), dists AS (
-  SELECT vec_id, v, {dist_cols}
-  FROM (SELECT vec_id, v, vq, list_dot_product(vq, vq) AS n2 FROM base)
+  SELECT vec_id, vs, {dist_cols}
+  FROM (SELECT vec_id, vq, vs, list_dot_product(vq, vq) AS n2 FROM base)
 ), assigned AS (
-  SELECT vec_id, v, {assign} AS c FROM (SELECT *, {least} AS m FROM dists)
+  SELECT vec_id, vs, {assign} AS c FROM (SELECT *, {least} AS m FROM dists)
 ), scored AS (
-  SELECT a.vec_id, list_cosine_similarity(a.v, q.qv) AS cos
+  SELECT a.vec_id, {_sql_exact_dot('a.vs', 'q.qs')} AS dot,
+         {_sql_exact_dot('a.vs', 'a.vs')} AS n2,
+         {_sql_exact_dot('q.qs', 'q.qs')} AS qn2
   FROM assigned a, q WHERE a.c IN (SELECT i FROM probes)
 )
-SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
-       CAST(floor(cos * 10000) AS BIGINT) AS cos_e4
-FROM scored QUALIFY rank <= {k}
+{_SQL_ANN_RANK.format(k=k)}
 """
 
 

@@ -56,6 +56,7 @@ def select_batch(
     per_host_budget: int,
     salt_partitions: int = 16,
     salt_reduce_threshold: int = 1_000_000,
+    input_splits: int | None = None,
 ) -> DataFrame:
     """→ batch = up to ``per_host_budget`` URLs per eligible host, lowest
     ``priority`` first.
@@ -83,15 +84,22 @@ def select_batch(
     # reduce task. WindowGroupLimit partial pushdown already caps what each
     # MAP partition ships at k rows per host, so the worst reduce task sees
     # ≤ map_partitions·k rows for one host — engage the salt phase only
-    # when that bound is big enough to hurt (cheap: partition count from
-    # file splits, no data pass). Measured: unconditional salting cost ~60%
-    # extra select time at bench scale where the bound is ~100k rows.
+    # when that bound is big enough to hurt. ``input_splits`` is the
+    # caller's map-side partition estimate (the crawl loop passes the live
+    # LEAF-DIR count straight off the warehouse manifest — zero plan/RDD
+    # work; leaves may coalesce into fewer actual splits, which only
+    # over-engages the salt: scale-safe). Only ad-hoc callers without a
+    # manifest fall back to the rdd-conversion probe. Measured:
+    # unconditional salting cost ~60% extra select time at bench scale.
     worst_reduce_rows = None
     if salt_partitions and salt_partitions > 1:
-        try:
-            worst_reduce_rows = frontier.rdd.getNumPartitions() * per_host_budget
-        except Exception:
-            worst_reduce_rows = salt_reduce_threshold + 1  # engage (scale-safe)
+        if input_splits is not None:
+            worst_reduce_rows = input_splits * per_host_budget
+        else:
+            try:
+                worst_reduce_rows = frontier.rdd.getNumPartitions() * per_host_budget
+            except Exception:
+                worst_reduce_rows = salt_reduce_threshold + 1  # engage (scale-safe)
     if worst_reduce_rows is not None and worst_reduce_rows > salt_reduce_threshold:
         # phase 1: per-(host, salt) top-k. WindowGroupLimit's partial
         # pushdown caps each MAP partition's output at k; the salted

@@ -237,6 +237,100 @@ def embedding_near_dup_pairs(
     return pairs.select("id_a", "id_b", cos_e4.alias("cos_e4")).distinct()
 
 
+# Scoring quantization for the integer-exact ANN rank (distinct from the
+# coarse BUCKETING quant=100): fine enough (~1e-6 cosine resolution) that
+# ranking is indistinguishable from double-cosine ordering on real data,
+# while every comparison stays exact integer arithmetic.
+ANN_SCORE_QUANT = 1_000_000
+# key = dot²·10⁴ div n2 and by Cauchy-Schwarz dot² ≤ n2·qn2, so the key is
+# ≤ qn2·10⁴: norms up to this bound keep the key (and dot itself) in int64.
+# quant=10⁶, |x|≤1, dim=64 → n2 ≤ 6.4·10¹³ — 14× margin.
+_MAX_SAFE_ANN_NORM2 = (2**63 - 1) // 10_000
+
+
+def quantized_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    quant: int = ANN_SCORE_QUANT,
+) -> DataFrame:
+    """Top-k by INTEGER-EXACT quantized-cosine ranking — the cross-engine-
+    deterministic scorer behind the ANN paths. Ranks by
+
+        key = sign(dot) · (dot² · 10⁴ div n2)      n2 = |v_q|², all exact:
+                                                   dot/n2 int64, dot² in
+                                                   decimal(38)/HUGEINT
+
+    over floor(x·quant) vectors: monotone in cos(v_q, q_q) (the common
+    query norm cancels), and — unlike a raw double cosine — the SAME
+    integer in Spark and any SQL engine, so ranks can never flip at a
+    float boundary between engines (round-3 ADVICE: the previous double-
+    cosine rank's whole-result exactness rested on bitwise-equal doubles).
+    At quant=10⁶ the induced cosine resolution is ~1e-6 — ordering is
+    double-grade; ties in key break on id, identically everywhere. cos_e4
+    derives from the same integers via one fixed double expression
+    (10000.0·dot / sqrt(double(n2)·double(qn2))) — identical IEEE result
+    from identical int inputs on both engines.
+
+    Int64/decimal safety: requires n2, qn2 ≤ (2^63−1)/10⁴ ≈ 9.2·10¹⁴
+    (_MAX_SAFE_ANN_NORM2) — then |dot| ≤ √(n2·qn2) fits int64 and the key
+    ≤ qn2·10⁴ fits int64 (dot² itself runs in decimal(38,0), matching the
+    oracle's HUGEINT). The query side is checked on the driver; the corpus
+    side by a per-row executor-side raise_error guard (no extra
+    materialization — the guard rides the scoring projection)."""
+    qq = quantize_vec_py(query_vec, quant)
+    qn2 = sum(x * x for x in qq)
+    if qn2 > _MAX_SAFE_ANN_NORM2:
+        raise ValueError(
+            f"quantized_topk: query norm² {qn2} exceeds the int64-safe "
+            f"bound {_MAX_SAFE_ANN_NORM2} — lower `quant` (now {quant})"
+        )
+    vq = quantize_vec_col(F.col(vec_col), quant)
+    n2 = F.aggregate(
+        F.transform(F.col("__vq"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    scored = (
+        embeddings.select(F.col(id_col), vq.alias("__vq"))
+        .select(
+            F.col(id_col),
+            _long_dot(F.col("__vq"), _lit_long_array(qq)).alias("__dot"),
+            n2.alias("__n2"),
+        )
+    )
+    guarded_n2 = F.when(
+        F.col("__n2") > _MAX_SAFE_ANN_NORM2,
+        F.raise_error(F.lit(
+            "quantized_topk: corpus vector norm² exceeds the int64-safe "
+            "bound — lower `quant` or normalize the embeddings"
+        )).cast("long"),
+    ).otherwise(F.col("__n2"))
+    scored = scored.withColumn("__n2", guarded_n2)
+    # decimal(38,0) square + `div` (integral division, returns long —
+    # verified to match DuckDB's HUGEINT // bit-for-bit); a double divide
+    # would round above 2^53 and break cross-engine integer identity
+    mag = F.expr(
+        "cast(__dot as decimal(38,0)) * __dot * 10000 div greatest(__n2, 1)"
+    )
+    key = (
+        F.when(F.col("__n2") == 0, F.lit(0).cast("long"))
+        .when(F.col("__dot") >= 0, mag)
+        .otherwise(-mag)
+    )
+    cos_e4 = F.when(F.col("__n2") == 0, F.lit(0)).otherwise(
+        F.floor(
+            F.lit(10000.0) * F.col("__dot")
+            / F.sqrt(F.col("__n2").cast("double") * F.lit(float(qn2)))
+        )
+    ).cast("long")
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", cos_e4.alias("cos_e4"))
+    )
+
+
 def deterministic_centroids(dim: int, k: int, seed: int = 99) -> list[list[float]]:
     """Fixed LCG-derived coarse centroids — the oracle-able IVF
     configuration: with literal centroids, assignment/probe/scoring are
@@ -370,6 +464,10 @@ def ivf_ann_topk(
         )
         probe = [i for _, i in qd[:nprobe]]
     cand = assigned.filter(F.col("__c").isin(*probe)).drop("__c")
+    if quant is not None:
+        # integer-exact end-to-end: assignment/probe at `quant`, ranking at
+        # the fine ANN_SCORE_QUANT (quantized_topk)
+        return quantized_topk(cand, query_vec, k, id_col, vec_col)
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -406,9 +504,10 @@ def lsh_ann_topk(
     multiprobe flips of the sign bits — the standard multiprobe-LSH recall
     repair: near neighbors that fall on the far side of ONE hyperplane are
     recovered without growing the corpus-side bucket count). multiprobe=0
-    is the single-bucket probe. Recall < 1 by design; returned ranks are
-    exact within the probed buckets. Recall@k vs brute force is measured in
-    tests/test_similarity.py across n_planes and multiprobe settings.
+    is the single-bucket probe. Recall < 1 by design; within the probed
+    buckets, ranking is by the integer-quantized cosine (quantized_topk).
+    Recall@k vs brute force is measured in tests/test_similarity.py across
+    n_planes and multiprobe settings.
 
     Bucketing runs in EXACT INTEGER arithmetic over floor(x·quant) vectors
     and planes, so bucket membership (and therefore the whole result) is
@@ -429,4 +528,7 @@ def lsh_ann_topk(
     bucketed = embeddings.withColumn("bucket", bucket)
     probes = lsh_probe_buckets_py(query_vec, qplanes, multiprobe, quant)
     cand = bucketed.filter(F.col("bucket").isin(*probes))
-    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+    # integer-exact end-to-end: bucketing at `quant`, ranking at the fine
+    # ANN_SCORE_QUANT — the whole result, ranks included, is reproducible
+    # in any SQL engine without float-boundary assumptions
+    return quantized_topk(cand, query_vec, k, id_col, vec_col)

@@ -166,6 +166,10 @@ class CrawlEngine:
         # strategy-only estimate of the next admission's post-dedup
         # candidate count (see admit docstring); None → shuffle anti-join
         self._est_candidates: int | None = None
+        # running max of observed candidates-per-fetched-page: clamps the
+        # join-strategy estimate so a batch-size spike can't sneak a huge
+        # candidate set into the broadcast-semi path (round-3 ADVICE)
+        self._max_out_degree: int = 0
         # rank-bucket fanout: enough buckets that the per-bucket window
         # sort spreads over every core with slack for hash imbalance
         self._rank_buckets = 2 * spark.sparkContext.defaultParallelism
@@ -506,7 +510,14 @@ class CrawlEngine:
         every dead range alive. One small agg + ≤N-row collect."""
         if host_state is None:
             return None
-        hb = F.pmod(F.xxhash64(F.col("host")), F.lit(self.cfg.frontier_host_buckets))
+        # the modulus comes from the FRONTIER MANIFEST, not cfg: leaves were
+        # labeled under the manifest's num_buckets, and a resumed crawl with
+        # a changed frontier_host_buckets would otherwise prune leaves that
+        # still hold live rows (round-3 ADVICE). append_ranged rejects a
+        # modulus change outright; this keeps the read side honest too.
+        spec = self.wh.ranged_bucket_spec("frontier")
+        nb = (spec[1] if spec and spec[1] else None) or self.cfg.frontier_host_buckets
+        hb = F.pmod(F.xxhash64(F.col("host")), F.lit(nb))
         rows = (
             host_state.groupBy(hb.cast("int").alias("hb"))
             .agg(F.min("cursor").alias("m"))
@@ -767,12 +778,16 @@ class CrawlEngine:
             if self.live <= 0:  # exact driver-side counter — no frontier scan
                 break
             host_state = wh.read("host_state")
-            frontier = self.read_frontier(host_state)
+            mins = self._cursor_mins(host_state)
+            frontier = wh.read_ranged("frontier", bucket_mins=mins)
             if frontier is None:
                 break
             self._set_shuffle_fanout(self.live)
             batch = select_batch(
-                frontier, host_state, wave, cfg.per_host_budget, cfg.salt_partitions
+                frontier, host_state, wave, cfg.per_host_budget, cfg.salt_partitions,
+                # map-split estimate straight off the manifest: keeps the
+                # wave loop free of per-wave plan→RDD conversions
+                input_splits=wh.ranged_leaf_count("frontier", bucket_mins=mins),
             )
             verified = verify_batch(batch, self.pages_store)
 
@@ -872,15 +887,29 @@ class CrawlEngine:
             # admissions ≈ batch × out-degree: re-size the admit job's fanout
             self._set_shuffle_fanout(batch_count * 4)
             admissions = self._collect_admissions(renderable, redirected)
+            # join-strategy estimate = prev wave's observed candidates ×4,
+            # CLAMPED from below by this wave's exact batch count × the max
+            # out-degree ever observed (×2 headroom): a batch-size spike —
+            # the common way "prev wave ×4" underestimates — can no longer
+            # route an over-limit candidate set into the broadcast-semi path
+            # (driver OOM risk, round-3 ADVICE). Out-degree is a site
+            # property and far more stationary than batch size.
+            est = self._est_candidates
+            if est is not None and self._max_out_degree:
+                est = max(est, batch_count * self._max_out_degree * 2)
             new_frontier, admit_report, admit_seen, counts, n_frontier = self.admit(
                 admissions, wave + 1,
                 boundaries=stats.get("rank_bounds"),
-                est_candidates=self._est_candidates,
+                est_candidates=est,
             )
             # next wave's join-strategy estimate: waves are self-similar, and
             # post-dedup candidates exceed post-anti admissions — pad 4× so
             # the semi-broadcast path only engages well inside its regime
-            self._est_candidates = max(sum(counts.values()), batch_count) * 4
+            cands = sum(counts.values())
+            self._max_out_degree = max(
+                self._max_out_degree, -(-cands // max(batch_count, 1))
+            )
+            self._est_candidates = max(cands, batch_count) * 4
             _mark("admit")
             self.counter += sum(counts.values())
             self.live += n_frontier - batch_count

@@ -244,7 +244,27 @@ class SnapshotWarehouse:
         if m.get("range_col") != range_col or m.get("range_bits") != range_bits:
             raise ValueError(f"table {name}: range spec mismatch")
         if m.get("bucket_col") != bucket_col:
-            raise ValueError(f"table {name}: bucket spec mismatch")
+            # NOTE format break: manifests written before host-bucketing
+            # (bucket_col absent ⇒ None) fail fast here when resumed with a
+            # bucketed spec — re-append under the old flat spec, or start a
+            # fresh warehouse. Reads of flat manifests still prune via the
+            # global-cursor fallback in _ranged_leaves.
+            raise ValueError(
+                f"table {name}: bucket_col mismatch (manifest="
+                f"{m.get('bucket_col')!r}, requested={bucket_col!r})"
+            )
+        if bucket_col is not None and m.get("num_buckets") != num_buckets:
+            # silent acceptance would relabel new leaves under a different
+            # hash modulus while old leaves keep __hb labels from the old
+            # one — cursor pruning would then drop leaves that still hold
+            # live rows (silent URL loss). The consumer derives its modulus
+            # from this manifest (ranged_bucket_spec), so a changed config
+            # must be rejected, not absorbed.
+            raise ValueError(
+                f"table {name}: num_buckets mismatch (manifest="
+                f"{m.get('num_buckets')}, requested={num_buckets}) — the "
+                f"host-bucket modulus is immutable for the table's lifetime"
+            )
         RANGE, HB = "__range", "__hb"
         ranged = df.withColumn(
             RANGE, F.shiftright(F.col(range_col).cast("long"), range_bits).cast("long")
@@ -296,6 +316,12 @@ class SnapshotWarehouse:
         bucketed ones (an unknown bucket is conservatively kept)."""
         bits = m["range_bits"]
         bucketed = m.get("bucket_col") is not None
+        if not bucketed and bucket_mins is not None and min_exclusive is None:
+            # legacy flat manifest driven by a per-bucket caller: collapse
+            # to the global cursor (min over buckets) so pre-bucketing
+            # frontiers keep range pruning on resume instead of silently
+            # pruning nothing
+            min_exclusive = min(bucket_mins.values()) if bucket_mins else None
         keep = {}
         for rid, entry in m.get("ranges", {}).items():
             rmax = ((int(rid) + 1) << bits) - 1
@@ -423,3 +449,29 @@ class SnapshotWarehouse:
     def num_buckets(self, name: str) -> int:
         m = self._load_manifest(name)
         return int(m.get("num_buckets", 0)) if m else 0
+
+    def ranged_bucket_spec(self, name: str) -> tuple[str | None, int | None] | None:
+        """(bucket_col, num_buckets) recorded in a ranged table's manifest —
+        the AUTHORITATIVE hash modulus for cursor pruning (deriving it from
+        config instead would compute bucket ids under a different modulus
+        than the one the leaves were labeled with after a config change).
+        None if the table does not exist; (None, None) for flat manifests."""
+        m = self._load_manifest(name)
+        if m is None:
+            return None
+        return (m.get("bucket_col"), m.get("num_buckets"))
+
+    def ranged_leaf_count(self, name: str, min_exclusive: int | None = None,
+                          bucket_mins: dict[int, int] | None = None) -> int:
+        """Number of live leaf dirs a read_ranged with the same cursors would
+        scan — from the manifest alone, no Spark plan / RDD conversion (the
+        wave loop sizes its select shuffle from this)."""
+        m = self._load_manifest(name)
+        if m is None:
+            return 0
+        n = 0
+        for entry in self._ranged_leaves(m, min_exclusive, bucket_mins).values():
+            n += len(entry) if isinstance(entry, list) else sum(
+                len(ds) for ds in entry.values()
+            )
+        return n

@@ -172,3 +172,59 @@ def test_ranged_per_bucket_pruning(spark, tmp_path):
     # unknown bucket -> conservatively kept
     out3 = wh.read_ranged("t", bucket_mins={})
     assert out3.count() == df.count()
+
+
+def test_append_ranged_rejects_modulus_change(spark, tmp_path):
+    """Resuming with a changed frontier_host_buckets must FAIL FAST: old
+    leaves keep __hb labels hashed under the old modulus, so accepting the
+    new one would let cursor pruning drop leaves with live rows (silent URL
+    loss — round-3 ADVICE)."""
+    import pytest
+
+    wh = _wh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(p, f"h{p % 3}.test") for p in range(64)], "priority long, host string"
+    )
+    m = wh.append_ranged("t", df, range_col="priority", range_bits=5,
+                         bucket_col="host", num_buckets=4)
+    wh.commit(0, {"t": m})
+    with pytest.raises(ValueError, match="num_buckets mismatch"):
+        wh.append_ranged("t", df, range_col="priority", range_bits=5,
+                         bucket_col="host", num_buckets=8)
+    # the authoritative modulus is readable for the consumer side
+    assert wh.ranged_bucket_spec("t") == ("host", 4)
+
+
+def test_flat_manifest_bucket_mins_fallback(spark, tmp_path):
+    """A legacy FLAT ranged manifest driven by a per-bucket caller must
+    fall back to the global cursor (min over buckets) — pruning keeps
+    working on resume instead of silently keeping everything."""
+    wh = _wh(spark, tmp_path)
+    df = spark.range(0, 128).select(F.col("id").alias("priority"))
+    wh.commit(0, {"t": wh.append_ranged("t", df, range_col="priority", range_bits=5)})
+    out = wh.read_ranged("t", bucket_mins={0: 63, 1: 90})  # global min = 63
+    vals = sorted(r["priority"] for r in out.collect())
+    assert vals[0] >= 64 and len(vals) == 64
+    # empty bucket_mins on a flat manifest: no cursor info -> keep all
+    assert wh.read_ranged("t", bucket_mins={}).count() == 128
+
+
+def test_ranged_leaf_count_matches_read(spark, tmp_path):
+    """ranged_leaf_count must agree with what read_ranged would scan —
+    the wave loop sizes its select shuffle from it without any RDD work."""
+    wh = _wh(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(p, f"h{p % 3}.test") for p in range(128)], "priority long, host string"
+    )
+    m = wh.append_ranged("t", df, range_col="priority", range_bits=5,
+                         bucket_col="host", num_buckets=4)
+    wh.commit(0, {"t": m})
+    manifest = wh._load_manifest("t")
+    full = sum(
+        len(ds) for e in manifest["ranges"].values() for ds in e.values()
+    )
+    assert wh.ranged_leaf_count("t") == full > 0
+    mins = {b: 63 for b in range(4)}
+    pruned = wh.ranged_leaf_count("t", bucket_mins=mins)
+    assert 0 < pruned < full
+    assert wh.ranged_leaf_count("missing") == 0

@@ -171,6 +171,35 @@ def test_ivf_ann_recall_and_determinism(emb):
     assert r2 <= r4 <= r8
 
 
+def test_quantized_topk_matches_brute_force_ordering(emb):
+    """The integer-exact rank key (ANN_SCORE_QUANT=1e6) must be double-
+    grade: the full ranking over the 400-vector corpus agrees with exact
+    double-cosine ordering (the key exists so ranks are cross-engine
+    deterministic, not to change the answer)."""
+    from helix_spark.operators.similarity import quantized_topk
+
+    got = [r["vec_id"] for r in quantized_topk(emb, QUERY, k=50).collect()]
+    want = [r["vec_id"] for r in brute_force_topk(emb, QUERY, k=50).collect()]
+    assert got == want
+
+
+def test_quantized_topk_overflow_guards(spark):
+    """Query norms past the int64-safe bound fail fast on the driver;
+    corpus vectors past it raise executor-side instead of wrapping."""
+    from helix_spark.operators.similarity import quantized_topk
+
+    # n2 = 4·(5e7)² = 10^16: fits int64 (so the element squares don't trip
+    # ANSI overflow first) but exceeds the key-safety bound ~9.2·10^14
+    big = 50.0
+    df = spark.createDataFrame(
+        [(1, [0.5] * 4), (2, [big] * 4)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="int64-safe"):
+        quantized_topk(df, [big] * 4, k=1)
+    with pytest.raises(Exception, match="int64-safe"):
+        quantized_topk(df, [0.5] * 4, k=5).collect()
+
+
 def test_deterministic_planes_stable():
     assert deterministic_planes(4, 2) == deterministic_planes(4, 2)
     a = deterministic_planes(4, 2, seed=1)
@@ -234,12 +263,12 @@ def test_ivf_partitioned_corpus_prunes_probe_scan(spark, tmp_path, emb):
 
     from helix_spark.operators.similarity import (
         _nearest_centroid_quant_col,
-        brute_force_topk,
         deterministic_centroids,
         ivf_ann_topk,
         ivf_probe_order_py,
         quantize_vec_col,
         quantize_vec_py,
+        quantized_topk,
     )
 
     cents = deterministic_centroids(DIM, 8)
@@ -254,7 +283,7 @@ def test_ivf_partitioned_corpus_prunes_probe_scan(spark, tmp_path, emb):
     scan = spark.read.parquet(out).filter(F.col("__c").isin(*probe))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__c" in plan.split("PartitionFilters", 1)[1][:200]
-    got = brute_force_topk(scan.drop("__c"), QUERY, k=10).collect()
+    got = quantized_topk(scan.drop("__c"), QUERY, k=10).collect()
     want = ivf_ann_topk(emb, QUERY, k=10, centroids=cents, nprobe=2, quant=100).collect()
     assert [(r["vec_id"], r["cos_e4"]) for r in got] == [
         (r["vec_id"], r["cos_e4"]) for r in want
