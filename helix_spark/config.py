@@ -55,3 +55,10 @@ class CrawlConfig:
     # every N waves (bounds read amplification on long crawls)
     compact_every: int = 16
     compact_max_files: int = 8
+    # early-commit overlap: batches at least this big split the report/seen
+    # appends into a settled half written DURING the admit job and an admit
+    # half chained after (plans/crawl.py `early`). Measured: saves ~7 s of
+    # constant post-admit commit wall at 4M-row waves, but COSTS ~2 s on
+    # tiny waves (three extra concurrent jobs contending with a short admit
+    # job), so it engages only past this threshold.
+    early_commit_min_batch: int = 50_000

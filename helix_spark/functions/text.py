@@ -99,17 +99,30 @@ def quality_score_milli_col(text: Column) -> Column:
 
 def shingles_col(text: Column, k: int = 3) -> Column:
     """Word k-shingles as strings 'w1 w2 w3' → array<string> (may be empty).
-    Guarded: F.sequence(1, 0) would yield a DESCENDING [1, 0], so short
-    documents explicitly map to an empty array."""
+
+    Built by zip_with-folding k shifted SLICES of the token array — toks
+    appears only as a DIRECT child of slice/zip_with, never inside a
+    lambda body. The previous form (transform over indices with
+    slice(toks, i, k) in the lambda) re-evaluated the whole tokenization
+    per shingle under interpreted higher-order-function evaluation —
+    quadratic per document (measured ~2 ms/shingle; a 5k-doc corpus spent
+    ~500 core-seconds just re-splitting text). Short documents (< k
+    tokens) map to an empty array; slice lengths are exact so zip_with
+    never NULL-pads."""
     toks = tokens_col(text)
     n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
+    m = n - F.lit(k - 1)  # shingle count when n ≥ k
+
+    def build():
+        acc = F.slice(toks, 1, m)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc, F.slice(toks, j + 1, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return acc
+
+    return F.when(n >= k, build()).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint_col(text: Column) -> Column:

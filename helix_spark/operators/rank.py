@@ -25,9 +25,20 @@ across runs even when approximate boundaries differ between runs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
+
+
+# Physical-plan capture for the wave-plan-identity evidence (plan_review):
+# populated with one entry per bucketed_global_rank / wave-select execution
+# when HELIX_SPARK_PLAN_LOG is set. The static-planner design (AQE off in
+# the wave loop, cached Column trees, driver-known fanout) depends on the
+# admit/select plans staying structurally identical across waves ≥ 1 —
+# plan_review normalizes these captures and fails on operator-shape drift.
+PLAN_LOG: list[str] = []
 
 
 def observed_metrics(obs: Observation) -> dict:
@@ -112,12 +123,24 @@ def bucketed_global_rank(
     metrics += [(extra_metrics or {})[n].alias(n) for n in extra_names]
 
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
-    ck = (
+    pre = (
         df.withColumn("__pid", pid.cast("int"))
         .observe(obs, *metrics)
         .withColumn("__lr", F.row_number().over(w))
-        .localCheckpoint()
     )
+    if os.environ.get("HELIX_SPARK_VERBOSE"):
+        # split driver-side plan work from job execution: executedPlan()
+        # forces analysis/optimization/planning on this Dataset's cached
+        # QueryExecution, which the localCheckpoint below then reuses
+        import time as _time
+
+        t0 = _time.time()
+        pre._jdf.queryExecution().executedPlan()
+        print(f"[helix-spark]     rank plan-analysis {_time.time() - t0:.1f}s",
+              flush=True)
+    if os.environ.get("HELIX_SPARK_PLAN_LOG"):
+        PLAN_LOG.append("rank:" + pre._jdf.queryExecution().executedPlan().toString())
+    ck = pre.localCheckpoint()
     got = observed_metrics(obs)
     counts = {i: (got.get(f"__c{i}") or 0) for i in range(n_buckets)}
     off_expr = None

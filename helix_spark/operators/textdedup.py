@@ -35,9 +35,24 @@ def md5_int60_col(s):
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before the md5/shingle
+    forest. Scan parallelism is FILE-SPLIT parallelism: a small corpus in
+    one parquet file is one task, and the md5-per-shingle work (the
+    dominant cost of every op in this module — 100-1000× the bytes read)
+    then runs on ONE core (measured: 11.6 s single-task vs sub-second
+    spread, sf0.1). Inputs already at least core-count-wide are returned
+    untouched — no extra shuffle of document text at scale."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one keeper (min id) per distinct text."""
-    return docs.groupBy(md5_int60_col(F.col(text_col)).alias("text_fp")).agg(
+    return _fan_out(docs).groupBy(md5_int60_col(F.col(text_col)).alias("text_fp")).agg(
         F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
     )
 
@@ -61,7 +76,7 @@ def minhash_signature(
     keeps shingle-less docs as a single NULL row → NULL mins, preserving
     the original NULL-component contract. md5 semantics unchanged — the
     DuckDB oracle is identical."""
-    ex = docs.select(
+    ex = _fan_out(docs).select(
         F.col(id_col),
         F.explode_outer(shingles_col(F.col(text_col), shingle_n)).alias("__sh"),
     ).select(F.col(id_col), md5_int60_col(F.col("__sh")).alias("__x"))
@@ -164,7 +179,7 @@ def ngram_jaccard_pairs(
     # (sizes + both join sides) and the md5/shingle transform forest would
     # otherwise run per reference (the same CollapseProject landmine the
     # near-dup pipeline already guards against)
-    sh = docs.select(
+    sh = _fan_out(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),
     ).localCheckpoint()
@@ -217,7 +232,7 @@ def near_dup_pairs(
         .distinct()
     )
     sh = (
-        docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        _fan_out(docs).join(F.broadcast(cand_ids), on=id_col, how="left_semi")
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),
@@ -272,7 +287,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # guards against): the md5 token-int array is referenced 2×bits times
     # and CollapseProject will not re-inline a non-cheap expression —
     # materialize it ONCE per row
-    with_ints = docs.select(F.col(id_col), ints.alias("__ints"))
+    with_ints = _fan_out(docs).select(F.col(id_col), ints.alias("__ints"))
     arr = F.col("__ints")
     n = F.size(arr)
 

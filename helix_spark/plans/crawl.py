@@ -828,7 +828,14 @@ class CrawlEngine:
                     [i / self._rank_buckets for i in range(1, self._rank_buckets)],
                     1000,
                 ).alias("rank_bounds"),
-            ).localCheckpoint()
+            )
+            if os.environ.get("HELIX_SPARK_PLAN_LOG"):
+                from helix_spark.operators.rank import PLAN_LOG
+
+                PLAN_LOG.append(
+                    "select:" + verified._jdf.queryExecution().executedPlan().toString()
+                )
+            verified = verified.localCheckpoint()
             batch = verified  # every batch column survives verify_batch
             stats = observed_metrics(obs)  # {} iff the batch was empty
             _mark("select+verify")
@@ -884,6 +891,43 @@ class CrawlEngine:
                 & F.col("is_extracted")
                 & (F.col("status_pre") == 0)
             )
+            # EARLY commit half: the crawl-log append and the SETTLED halves
+            # of the report/seen appends depend only on the verify
+            # checkpoint, not on admit — submit them now so their table
+            # writes run DURING the admit job (the wave's longest) instead
+            # of serializing into the post-admit commit pool. Measured: the
+            # commit phase was a ~15 s wall at BOTH local[4] and local[16]
+            # (a constant, non-scaling tail); this moves roughly half its
+            # job time under the admit window. The admit halves chain onto
+            # these manifests via append_bucketed(base_manifest=...).
+            # ADAPTIVE: on tiny waves the three extra concurrent jobs cost
+            # more in contention with a short admit job than they save
+            # (measured ~2 s/wave), so the split engages only past
+            # cfg.early_commit_min_batch.
+            early = None
+            if batch_count >= cfg.early_commit_min_batch:
+                from concurrent.futures import ThreadPoolExecutor
+
+                obs_settled = Observation()
+                wave_report_settled = report_rows.withColumn(
+                    "wave", F.lit(wave)
+                ).observe(obs_settled, *self._report_metric_cols())
+                epool = ThreadPoolExecutor(max_workers=3)
+                early = {
+                    "pool": epool,
+                    "report": epool.submit(
+                        wh.append_bucketed, "report", wave_report_settled,
+                        "verified_url", cfg.report_buckets,
+                    ),
+                    "seen": epool.submit(
+                        wh.append_bucketed, "seen", seen_updates, "key",
+                        cfg.seen_buckets,
+                    ),
+                    "manifests": {
+                        "crawl_log": epool.submit(wh.append, "crawl_log", log_rows),
+                    },
+                    "obs_report": obs_settled,
+                }
             # admissions ≈ batch × out-degree: re-size the admit job's fanout
             self._set_shuffle_fanout(batch_count * 4)
             admissions = self._collect_admissions(renderable, redirected)
@@ -914,19 +958,26 @@ class CrawlEngine:
             self.counter += sum(counts.values())
             self.live += n_frontier - batch_count
 
-            all_report = report_rows.unionByName(admit_report)
-            all_seen = seen_updates.unionByName(admit_seen)
             hs = next_host_state(batch, self.robots, wave, host_state,
                                  new_hosts=new_frontier)
-            # bloom maintenance and the fetch-log append are independent of
-            # the six table writes — run them all in the commit pool instead
-            # of serializing ~2 s of jobs ahead of it
+            # bloom maintenance is independent of the table writes — run it
+            # in the commit pool; with the early split, report/seen carry
+            # only the ADMIT halves (settled halves already written)
+            if early is not None:
+                commit_report, commit_seen = admit_report, admit_seen
+                extra_jobs = None
+            else:
+                commit_report = report_rows.unionByName(admit_report)
+                commit_seen = seen_updates.unionByName(admit_seen)
+                extra_jobs = {"crawl_log": lambda: wh.append("crawl_log", log_rows)}
             self._commit_wave(
-                wave, new_frontier, all_report, all_seen, hs, batch_count, counts,
+                wave, new_frontier, commit_report, commit_seen, hs, batch_count,
+                counts,
                 n_frontier=n_frontier,
                 avg_load_ms=stats.get("avg_load_ms"),
-                extra_jobs={"crawl_log": lambda: wh.append("crawl_log", log_rows)},
+                extra_jobs=extra_jobs,
                 filters_prep=lambda: self._ingest_filters(admit_seen),
+                early=early,
             )
             _mark("commit")
             if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
@@ -1073,17 +1124,31 @@ class CrawlEngine:
         return out.select([f.name for f in ADMIT_SCHEMA.fields])
 
     # ---------------------------------------------------------------- commit
+    @staticmethod
+    def _report_metric_cols():
+        """Aggregates the metrics table derives from report rows — attached
+        as an Observation on the report WRITE so no separate scan runs."""
+        return [
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.abs(F.col("status_code")) >= 400).alias("broken"),
+        ]
+
     def _commit_wave(self, wave, frontier, report, seen, host_state, batch_count,
                      partition_counts=None, extra_manifests: dict | None = None,
                      n_frontier: int | None = None,
                      avg_load_ms: float | None = None,
                      extra_jobs: dict | None = None,
-                     filters_prep=None) -> None:
+                     filters_prep=None, early: dict | None = None) -> None:
         """``extra_jobs``: {table: thunk → manifest} to run in the commit
         pool alongside the table writes. ``filters_prep``: thunk run in the
         pool BEFORE _save_filters on the same pool task (bloom ingest must
         complete before its serialization — sequential within the task,
-        concurrent with everything else)."""
+        concurrent with everything else). ``early``: the wave loop's
+        already-submitted settled-half writes (futures 'report'/'seen',
+        pre-resolved table futures in 'manifests', the settled report
+        write's Observation in 'obs_report' for the metrics sum, and the
+        owning 'pool'); when present, ``report``/``seen`` carry ONLY the
+        admit halves and chain onto the early manifests."""
         wh, cfg = self.wh, self.cfg
         manifests = dict(extra_manifests or {})
         # The table writes below are independent jobs over already-
@@ -1095,7 +1160,26 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         jobs: dict[str, object] = {}
-        pool = ThreadPoolExecutor(max_workers=6)
+        # headroom over the task count: the metrics task BLOCKS on the report
+        # task's future, so the pool must never be saturated by waiters
+        pool = ThreadPoolExecutor(max_workers=8)
+        durations: dict[str, float] = {}
+        if self.verbose:
+            _orig_submit = pool.submit
+
+            def _timed_submit(fn, *a, _submit=_orig_submit, **kw):
+                def run():
+                    t0 = time.time()
+                    try:
+                        return fn(*a, **kw)
+                    finally:
+                        run.dt = time.time() - t0
+
+                fut = _submit(run)
+                fut._timer = run
+                return fut
+
+            pool.submit = _timed_submit
         if n_frontier is None or n_frontier > 0:
             # append-only ranged LSM: O(new rows); consumed rows are encoded
             # by host_state cursors, fully-dead ranges pruned at compaction
@@ -1114,30 +1198,58 @@ class CrawlEngine:
         # (settled rows are non-redirected so final == self; admitted rows
         # come out of the first-wins aggregate). Cross-wave duplicates are
         # the readers' last-write-wins job. Parity tests pin this.
-        wave_report = report.withColumn("wave", F.lit(wave))
-        jobs["report"] = pool.submit(
-            wh.append_bucketed, "report", wave_report, "verified_url", cfg.report_buckets
+        # per-wave counters (Statistics.cs:6-84 / EventBroadcaster analog)
+        # RIDE the report write as an Observation — the old standalone agg
+        # re-scanned every report row a second time (a measured ~6-12 s pool
+        # job per wave at bench scale, pure waste)
+        obs_admit = Observation()
+        wave_report = report.withColumn("wave", F.lit(wave)).observe(
+            obs_admit, *self._report_metric_cols()
         )
-        jobs["seen"] = pool.submit(
-            wh.append_bucketed, "seen", seen, "key", cfg.seen_buckets
-        )
+        if early is not None:
+            rb, sb = early["report"], early["seen"]
+            jobs["report"] = pool.submit(
+                lambda: wh.append_bucketed(
+                    "report", wave_report, "verified_url", cfg.report_buckets,
+                    base_manifest=rb.result(),
+                )
+            )
+            jobs["seen"] = pool.submit(
+                lambda: wh.append_bucketed(
+                    "seen", seen, "key", cfg.seen_buckets,
+                    base_manifest=sb.result(),
+                )
+            )
+        else:
+            jobs["report"] = pool.submit(
+                wh.append_bucketed, "report", wave_report, "verified_url", cfg.report_buckets
+            )
+            jobs["seen"] = pool.submit(
+                wh.append_bucketed, "seen", seen, "key", cfg.seen_buckets
+            )
         if host_state is not None:
             jobs["host_state"] = pool.submit(wh.overwrite, "host_state", host_state)
-        # per-wave counters (Statistics.cs:6-84 / EventBroadcaster analog):
-        # one metrics row per wave, derived from this wave's report rows
-        wave_metrics = wave_report.agg(
-            F.lit(wave).alias("wave"),
-            F.count("*").alias("report_rows"),
-            F.coalesce(
-                F.sum((F.abs(F.col("status_code")) >= 400).cast("int")), F.lit(0)
-            ).alias("broken_new"),
-            F.coalesce(
-                F.sum((F.abs(F.col("status_code")) < 400).cast("int")), F.lit(0)
-            ).alias("valid_new"),
-            F.lit(batch_count).alias("batch"),
-            F.lit(avg_load_ms).cast("double").alias("avg_page_load_ms"),
-        )
-        jobs["metrics"] = pool.submit(wh.append, "metrics", wave_metrics)
+
+        def _metrics_row():
+            # waits for the report write(s), then sums their observations —
+            # one 1-row write instead of a full re-aggregation job
+            jobs["report"].result()
+            got = observed_metrics(obs_admit)
+            n = got.get("n") or 0
+            broken = got.get("broken") or 0
+            if early is not None:
+                got_s = observed_metrics(early["obs_report"])
+                n += got_s.get("n") or 0
+                broken += got_s.get("broken") or 0
+            row_df = self.spark.createDataFrame(
+                [(wave, n, broken, n - broken, batch_count,
+                  float(avg_load_ms) if avg_load_ms is not None else None)],
+                "wave int, report_rows long, broken_new long, valid_new long, "
+                "batch long, avg_page_load_ms double",
+            )
+            return wh.append("metrics", row_df)
+
+        jobs["metrics"] = pool.submit(_metrics_row)
         for tname, thunk in (extra_jobs or {}).items():
             jobs[tname] = pool.submit(thunk)
 
@@ -1150,9 +1262,20 @@ class CrawlEngine:
         try:
             for name, fut in jobs.items():
                 manifests[name] = fut.result()
+                if self.verbose and hasattr(fut, "_timer"):
+                    durations[name] = round(getattr(fut._timer, "dt", -1), 1)
+            for name, fut in (early or {}).get("manifests", {}).items():
+                manifests[name] = fut.result()
             manifests.update(filters_future.result())
+            if self.verbose and hasattr(filters_future, "_timer"):
+                durations["filters"] = round(
+                    getattr(filters_future._timer, "dt", -1), 1)
         finally:
             pool.shutdown(wait=True)
+            if early is not None:
+                early["pool"].shutdown(wait=True)
+        if self.verbose:
+            print(f"[helix-spark]     commit jobs: {durations}", flush=True)
         wh.commit(
             wave,
             manifests,

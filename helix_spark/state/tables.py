@@ -194,13 +194,20 @@ class SnapshotWarehouse:
             name, {"key": key, "num_buckets": num_buckets, "buckets": buckets,
                    "schema": m.get("schema") or self._data_schema_json(updates)})
 
-    def append_bucketed(self, name: str, df: DataFrame, key: str, num_buckets: int = 64) -> str:
+    def append_bucketed(self, name: str, df: DataFrame, key: str, num_buckets: int = 64,
+                        base_manifest: str | None = None) -> str:
         """LSM-style bucketed append: write the new rows partitioned by
         key-hash bucket and LINK the new leaf dirs into each bucket's file
         list — O(new data) per call, no rewrite of existing data. Readers
         keep bucket pruning; last-write-wins resolution (by a version column)
-        is the reader's job; periodic compaction can rewrite hot buckets."""
-        m = self._load_manifest(name) or {"key": key, "num_buckets": num_buckets, "buckets": {}}
+        is the reader's job; periodic compaction can rewrite hot buckets.
+
+        ``base_manifest``: chain from an UNCOMMITTED manifest instead of
+        HEAD — lets one wave split a table's append into two pooled writes
+        (an early half overlapped with the admit job, the admit half after)
+        without the second losing the first's leaves."""
+        m = self._load_manifest(name, base_manifest) or {
+            "key": key, "num_buckets": num_buckets, "buckets": {}}
         if m["num_buckets"] != num_buckets or m["key"] != key:
             raise ValueError(f"table {name}: bucket spec mismatch")
         bucketed = df.withColumn(

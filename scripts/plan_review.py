@@ -115,6 +115,64 @@ def custom_checks(spark) -> int:
     else:
         print("FAIL simhash_collapse_default: default plan lacks the collapse aggregate")
         failures += 1
+
+    # 4) wave-plan cache evidence: the static-planner design (AQE off in the
+    #    wave loop, cached Column trees, driver-known fanout) depends on the
+    #    select/admit plans staying STRUCTURALLY IDENTICAL across waves ≥ 1.
+    #    Run a real multi-wave crawl with plan capture on and compare the
+    #    normalized operator shapes — any per-wave plan drift fails here.
+    import os
+    import tempfile
+
+    from helix_spark.config import CrawlConfig
+    from helix_spark.operators import rank as rank_mod
+    from helix_spark.plans.crawl import CrawlEngine
+    from helix_spark.sources import synthetic
+
+    def _shape(plan: str) -> tuple:
+        ops = []
+        for ln in plan.splitlines():
+            m = re.search(r"[A-Za-z][A-Za-z0-9]+", ln)
+            if m:
+                ops.append(m.group(0))
+        return tuple(ops)
+
+    pages = spark.createDataFrame(synthetic.gen_pages_py(36, 4))
+    assets = spark.createDataFrame(synthetic.gen_assets_py(36, 4, 8))
+    robots = spark.createDataFrame(synthetic.gen_robots_py(4))
+    cfg = CrawlConfig(seeds=["http://host0.test/p/0"], per_host_budget=2,
+                      expected_urls=4000, bloom_slices=4, seen_buckets=8,
+                      report_buckets=8)
+    rank_mod.PLAN_LOG.clear()
+    os.environ["HELIX_SPARK_PLAN_LOG"] = "1"
+    try:
+        eng = CrawlEngine(spark, cfg, tempfile.mkdtemp(prefix="planrev_"),
+                          pages, assets, robots)
+        out = eng.run()
+    finally:
+        del os.environ["HELIX_SPARK_PLAN_LOG"]
+    selects = [_shape(p) for p in rank_mod.PLAN_LOG if p.startswith("select:")]
+    ranks = [_shape(p) for p in rank_mod.PLAN_LOG if p.startswith("rank:")]
+    # waves ≥ 1: skip wave 0 (bootstrap admit has no seen table yet and wave
+    # 0's select has no host_state join — both legitimately differ)
+    sel_steady, rank_steady = selects[1:], ranks[2:]
+    ok = (
+        out.waves >= 4
+        and len(sel_steady) >= 2 and len(set(sel_steady)) == 1
+        and len(rank_steady) >= 2 and len(set(rank_steady)) == 1
+    )
+    if ok:
+        print(
+            f"PASS wave_plan_identity: {len(sel_steady)} select + "
+            f"{len(rank_steady)} admit plans share one operator shape across waves"
+        )
+    else:
+        print(
+            f"FAIL wave_plan_identity: select shapes {len(set(sel_steady))} "
+            f"distinct of {len(sel_steady)}, admit {len(set(rank_steady))} "
+            f"distinct of {len(rank_steady)} (waves={out.waves})"
+        )
+        failures += 1
     return failures
 
 
@@ -154,7 +212,7 @@ def main() -> int:
         else:
             failures += 1
     failures += custom_checks(spark)
-    n_total = len(CHECKS) + 3
+    n_total = len(CHECKS) + 4
     spark.stop()
     print(f"{n_total - failures}/{n_total} plan checks pass")
     return 1 if failures else 0
