@@ -62,3 +62,12 @@ class CrawlConfig:
     # tiny waves (three extra concurrent jobs contending with a short admit
     # job), so it engages only past this threshold.
     early_commit_min_batch: int = 50_000
+    # ...and only with at least this many task slots: below it the admit
+    # job owns every core through its stage tails and the overlap is pure
+    # contention (measured at local[4])
+    early_commit_min_parallelism: int = 8
+    # politeness join: broadcast host_state (one row per host) up to this
+    # many hosts; past it the select join switches to a shuffle-hash join
+    # (broadcasting tens of millions of rows per wave is a driver/executor
+    # memory death at web scale — operators/politeness.select_batch)
+    host_state_broadcast_max_rows: int = 2_000_000

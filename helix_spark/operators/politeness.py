@@ -57,6 +57,7 @@ def select_batch(
     salt_partitions: int = 16,
     salt_reduce_threshold: int = 1_000_000,
     input_splits: int | None = None,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """→ batch = up to ``per_host_budget`` URLs per eligible host, lowest
     ``priority`` first.
@@ -71,7 +72,17 @@ def select_batch(
     nothing is ever anti-joined or rewritten (module docstring for the
     skew story)."""
     if host_state is not None:
-        f = frontier.join(F.broadcast(host_state), on="host", how="left")
+        # ``broadcast_state``: host_state is one row per host — broadcast is
+        # right up to millions of hosts, but at web scale (#hosts ≫ the
+        # broadcast/driver ceiling) the caller flips this off (size-aware,
+        # same adaptive pattern as the seen join) and the join runs as a
+        # SHUFFLE_HASH join instead: host_state partitions build the hash
+        # maps, the frontier streams — no driver collect, no sort of the
+        # frontier. True shuffle-FREE co-location of the host-hash-bucketed
+        # frontier with a bucketed host_state needs storage-partitioned
+        # joins (the documented Iceberg seam, state/tables.py).
+        hs = F.broadcast(host_state) if broadcast_state else host_state.hint("shuffle_hash")
+        f = frontier.join(hs, on="host", how="left")
         live = f.filter(F.col("priority") > F.coalesce(F.col("cursor"), F.lit(-1)))
         eligible = live.filter(
             F.coalesce(F.col("next_allowed_wave"), F.lit(0)) <= F.lit(wave)

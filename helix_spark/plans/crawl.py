@@ -175,6 +175,10 @@ class CrawlEngine:
         self._rank_buckets = 2 * spark.sparkContext.defaultParallelism
         self.counter = 0
         self.live = 0  # exact frontier live-row count (admitted − consumed)
+        # host_state row count (exact, ridden on the overwrite's
+        # Observation each wave; persisted in commit metrics for resume) —
+        # drives the broadcast-vs-shuffle-hash politeness join decision
+        self.n_hosts = 0
         self.aborted = False
         self.verbose = bool(os.environ.get("HELIX_SPARK_VERBOSE"))
 
@@ -745,6 +749,7 @@ class CrawlEngine:
             start_wave = head["wave"] + 1
             self.counter = head["metrics"].get("counter", 0)
             self.live = head["metrics"].get("live", 0)
+            self.n_hosts = head["metrics"].get("n_hosts", 0)
             self._load_filters()
         else:
             self._init_filters()
@@ -788,6 +793,9 @@ class CrawlEngine:
                 # map-split estimate straight off the manifest: keeps the
                 # wave loop free of per-wave plan→RDD conversions
                 input_splits=wh.ranged_leaf_count("frontier", bucket_mins=mins),
+                # size-aware: broadcasting host_state dies past the driver
+                # ceiling at web-scale host counts — switch to shuffle-hash
+                broadcast_state=self.n_hosts <= cfg.host_state_broadcast_max_rows,
             )
             verified = verify_batch(batch, self.pages_store)
 
@@ -844,6 +852,7 @@ class CrawlEngine:
                 # logical-clock tick: every queued host is still delayed
                 wh.commit(wave, {}, metrics={
                     "counter": self.counter, "live": self.live, "batch": 0,
+                    "n_hosts": self.n_hosts,
                 })
                 free_local_checkpoint(verified)
                 wave += 1
@@ -903,9 +912,16 @@ class CrawlEngine:
             # ADAPTIVE: on tiny waves the three extra concurrent jobs cost
             # more in contention with a short admit job than they save
             # (measured ~2 s/wave), so the split engages only past
-            # cfg.early_commit_min_batch.
+            # cfg.early_commit_min_batch — and only when the cluster has
+            # spare capacity to absorb it (< 8 slots: the admit job owns
+            # every core through its stage tails and the overlap is pure
+            # contention — measured at local[4]).
             early = None
-            if batch_count >= cfg.early_commit_min_batch:
+            if (
+                batch_count >= cfg.early_commit_min_batch
+                and self.spark.sparkContext.defaultParallelism
+                >= cfg.early_commit_min_parallelism
+            ):
                 from concurrent.futures import ThreadPoolExecutor
 
                 obs_settled = Observation()
@@ -1006,6 +1022,7 @@ class CrawlEngine:
                 if cm:
                     wh.commit(wave, cm, metrics={"counter": self.counter,
                                                  "live": self.live,
+                                                 "n_hosts": self.n_hosts,
                                                  "compaction": True})
             # wave committed: the two checkpoints (select+verify batch, ranked
             # admissions) are dead — free their blocks NOW instead of waiting
@@ -1228,7 +1245,19 @@ class CrawlEngine:
                 wh.append_bucketed, "seen", seen, "key", cfg.seen_buckets
             )
         if host_state is not None:
+            obs_hosts = Observation()
+            host_state = host_state.observe(
+                obs_hosts, F.count(F.lit(1)).alias("n")
+            )
             jobs["host_state"] = pool.submit(wh.overwrite, "host_state", host_state)
+
+            def _update_n_hosts():
+                jobs["host_state"].result()
+                self.n_hosts = int(observed_metrics(obs_hosts).get("n") or 0)
+
+            jobs_after = _update_n_hosts
+        else:
+            jobs_after = None
 
         def _metrics_row():
             # waits for the report write(s), then sums their observations —
@@ -1274,6 +1303,8 @@ class CrawlEngine:
             pool.shutdown(wait=True)
             if early is not None:
                 early["pool"].shutdown(wait=True)
+        if jobs_after is not None:
+            jobs_after()
         if self.verbose:
             print(f"[helix-spark]     commit jobs: {durations}", flush=True)
         wh.commit(
@@ -1283,6 +1314,7 @@ class CrawlEngine:
                 "counter": self.counter,
                 "live": self.live,
                 "batch": batch_count,
+                "n_hosts": self.n_hosts,
                 "admit_partition_rows": {str(k): v for k, v in (partition_counts or {}).items()},
             },
         )

@@ -89,6 +89,7 @@ def test_early_commit_split_parity(spark, tmp_path):
         seeds=["http://host0.test/p/0"], per_host_budget=3, max_waves=30,
         expected_urls=5000, bloom_slices=4, seen_buckets=8, report_buckets=8,
         early_commit_min_batch=0,  # every wave takes the split path
+        early_commit_min_parallelism=0,  # even on the local[4] test session
     )
     oracle = SerialOracle(cfg, pages_pd, assets_pd, robots_pd).run()
     eng = CrawlEngine(

@@ -59,3 +59,32 @@ def test_salt_phase_engaged_past_threshold(spark):
     batch = select_batch(f, None, 0, 10, salt_partitions=8, salt_reduce_threshold=0)
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def _host_state(spark, hosts, delay_host=None):
+    rows = [(h, 100 if h == delay_host else 0, -1) for h in hosts]
+    return spark.createDataFrame(
+        rows, "host string, next_allowed_wave int, cursor long"
+    )
+
+
+def test_non_broadcast_state_path_same_results(spark):
+    """The web-scale host_state path (broadcast_state=False — #hosts past
+    the driver/broadcast ceiling) must plan WITHOUT a broadcast of
+    host_state (shuffle-hash join instead) and return bit-identical
+    batches to the broadcast path, including delay-gated hosts."""
+    f = _frontier(spark, hot_rows=500, cold_hosts=4)
+    hosts = ["hot.test"] + [f"c{h}.test" for h in range(4)]
+    hs = _host_state(spark, hosts, delay_host="c1.test")
+    b_bcast = select_batch(f, hs, 0, 10, salt_partitions=1)
+    b_shuf = select_batch(f, hs, 0, 10, salt_partitions=1, broadcast_state=False)
+    plan_b = b_bcast._jdf.queryExecution().executedPlan().toString()
+    plan_s = b_shuf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    # the host_state join itself must not broadcast; the shuffled-hash
+    # operator takes its place
+    assert "ShuffledHashJoin" in plan_s and "BroadcastHashJoin" not in plan_s
+    a = {(r["host"], r["priority"]) for r in b_bcast.collect()}
+    b = {(r["host"], r["priority"]) for r in b_shuf.collect()}
+    assert a == b
+    assert not any(h == "c1.test" for h, _ in a)  # delay gate still applies
