@@ -41,6 +41,11 @@ HEADLINE = [
     "simhash",
     "embedding_topk",
     "exact_dedup",
+    # round-4 additions: the end-to-end dedup decision, the Hamming-space
+    # near-dup (collapse guard on), and the integer-exact ANN path
+    "dedup_keep_best",
+    "simhash_near_dup",
+    "lsh_ann_topk",
 ]
 
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "200000"))

@@ -179,6 +179,10 @@ class CrawlEngine:
         # Observation each wave; persisted in commit metrics for resume) —
         # drives the broadcast-vs-shuffle-hash politeness join decision
         self.n_hosts = 0
+        # per-host-bucket cursor minima from the same Observation — the
+        # steady-state _cursor_mins source (no per-wave agg/collect job);
+        # None until the first host_state write (bootstrap/resume recompute)
+        self._mins_cache: dict[int, int] | None = None
         self.aborted = False
         self.verbose = bool(os.environ.get("HELIX_SPARK_VERBOSE"))
 
@@ -504,6 +508,16 @@ class CrawlEngine:
         return frontier_rows, report_rows, seen_rows, counts, n_frontier
 
     # -------------------------------------------------------------- readers
+    def _frontier_nb(self) -> int:
+        """The host-bucket modulus — from the FRONTIER MANIFEST, not cfg:
+        leaves were labeled under the manifest's num_buckets, and a resumed
+        crawl with a changed frontier_host_buckets would otherwise prune
+        leaves that still hold live rows (round-3 ADVICE). append_ranged
+        rejects a modulus change outright; this keeps the read side honest
+        too."""
+        spec = self.wh.ranged_bucket_spec("frontier")
+        return (spec[1] if spec and spec[1] else None) or self.cfg.frontier_host_buckets
+
     def _cursor_mins(self, host_state: DataFrame | None) -> dict[int, int] | None:
         """Exact live-priority lower bound PER host-hash bucket: every
         frontier host is registered in host_state (next_host_state
@@ -511,16 +525,17 @@ class CrawlEngine:
         that bucket's frontier ranges below. Per-bucket (vs one global min)
         means a single lagging host only blocks pruning for its own bucket
         — the round-2 design took the global min and one slow host kept
-        every dead range alive. One small agg + ≤N-row collect."""
+        every dead range alive.
+
+        Steady state costs ZERO jobs: the previous wave's host_state
+        overwrite rides per-bucket min(cursor) aggregates on its
+        Observation (_commit_wave), cached driver-side. The agg+collect
+        below runs only on resume / paths that bypassed the cache."""
         if host_state is None:
             return None
-        # the modulus comes from the FRONTIER MANIFEST, not cfg: leaves were
-        # labeled under the manifest's num_buckets, and a resumed crawl with
-        # a changed frontier_host_buckets would otherwise prune leaves that
-        # still hold live rows (round-3 ADVICE). append_ranged rejects a
-        # modulus change outright; this keeps the read side honest too.
-        spec = self.wh.ranged_bucket_spec("frontier")
-        nb = (spec[1] if spec and spec[1] else None) or self.cfg.frontier_host_buckets
+        if self._mins_cache is not None:
+            return self._mins_cache
+        nb = self._frontier_nb()
         hb = F.pmod(F.xxhash64(F.col("host")), F.lit(nb))
         rows = (
             host_state.groupBy(hb.cast("int").alias("hb"))
@@ -1246,16 +1261,31 @@ class CrawlEngine:
             )
         if host_state is not None:
             obs_hosts = Observation()
+            nb = self._frontier_nb()
+            hb = F.pmod(F.xxhash64(F.col("host")), F.lit(nb)).cast("int")
             host_state = host_state.observe(
-                obs_hosts, F.count(F.lit(1)).alias("n")
+                obs_hosts,
+                F.count(F.lit(1)).alias("n"),
+                # per-bucket cursor minima ride the SAME write job — next
+                # wave's frontier pruning then needs no agg/collect job
+                *[
+                    F.min(F.when(hb == i, F.col("cursor"))).alias(f"m{i}")
+                    for i in range(nb)
+                ],
             )
             jobs["host_state"] = pool.submit(wh.overwrite, "host_state", host_state)
 
-            def _update_n_hosts():
+            def _update_host_stats():
                 jobs["host_state"].result()
-                self.n_hosts = int(observed_metrics(obs_hosts).get("n") or 0)
+                got = observed_metrics(obs_hosts)
+                self.n_hosts = int(got.get("n") or 0)
+                self._mins_cache = {
+                    i: got[f"m{i}"]
+                    for i in range(nb)
+                    if got.get(f"m{i}") is not None
+                }
 
-            jobs_after = _update_n_hosts
+            jobs_after = _update_host_stats
         else:
             jobs_after = None
 
