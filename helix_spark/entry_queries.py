@@ -908,6 +908,39 @@ WITH q AS (
 """
 
 
+def q_ann_quantized_exact(spark, sf):
+    """EXACT corpus-wide top-k under the integer-quantized cosine rank
+    (quantized_topk, floor(x·10⁶) vectors) — the deterministic scorer the
+    LSH/IVF ANN paths share, exercised with no bucket pruning: the whole
+    result, ranks included, is the same integer arithmetic in any engine
+    (no bitwise-double assumptions — round-3 ADVICE resolution, shown
+    standalone)."""
+    from helix_spark.operators.similarity import quantized_topk
+
+    emb = _assert_emb_dim(_t(spark, sf, "embeddings"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return quantized_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10)
+
+
+def _sql_ann_quantized_exact(k: int = 10) -> str:
+    from helix_spark.operators.similarity import ANN_SCORE_QUANT
+
+    qlist = _sql_quant_list("embedding", ANN_SCORE_QUANT)
+    return f"""
+WITH q AS (
+  SELECT {qlist} AS qs FROM embeddings WHERE vec_id = 0
+), base AS (
+  SELECT vec_id, {qlist} AS vs FROM embeddings WHERE vec_id > 0
+), scored AS (
+  SELECT b.vec_id, {_sql_exact_dot('b.vs', 'q.qs')} AS dot,
+         {_sql_exact_dot('b.vs', 'b.vs')} AS n2,
+         {_sql_exact_dot('q.qs', 'q.qs')} AS qn2
+  FROM base b, q
+)
+{_SQL_ANN_RANK.format(k=k)}
+"""
+
+
 IVF_ORACLE_K = 8
 IVF_ORACLE_NPROBE = 2
 
@@ -1239,6 +1272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "dedup_keep_best": q_dedup_keep_best,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ann_quantized_exact": q_ann_quantized_exact,
     "ivf_ann_topk": q_ivf_ann_topk,
     "image_decode_stats": q_image_decode_stats,
     "payload_verify": q_payload_verify,
@@ -1278,6 +1312,7 @@ ORACLE: dict[str, str] = {
     "pii_redact": _sql_pii_redact(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "lsh_ann_topk": _sql_lsh_ann_topk(),
+    "ann_quantized_exact": _sql_ann_quantized_exact(),
     "ivf_ann_topk": _sql_ivf_ann_topk(),
     # image_decode_stats / payload_verify: rows-only (binary decode has no
     # SQL twin). The ANN queries are exact-oracled via integer-quantized
