@@ -71,3 +71,9 @@ class CrawlConfig:
     # (broadcasting tens of millions of rows per wave is a driver/executor
     # memory death at web scale — operators/politeness.select_batch)
     host_state_broadcast_max_rows: int = 2_000_000
+    # rank buckets per core: the admit rank window hash-partitions by
+    # bucket id, and with n_buckets ≈ partitions balls-into-bins collisions
+    # give the window stage a ~2× straggler; more (smaller) buckets even
+    # the load at the cost of wider per-wave Observations (one exact count
+    # per bucket) and more percentile cut points
+    rank_buckets_per_core: int = 2

@@ -14,9 +14,14 @@ call. This version does the whole rank in ONE job and ONE materialization:
    percentile_approx, or an analytic grid for hash-distributed keys)
 2. row_number WITHIN each bucket (window partitioned by bucket — P-way
    parallel, never a global single-task sort)
-3. EXACT per-bucket row counts ride an Observation on the same job
+3. EXACT per-bucket row counts from one tiny agg over the CACHED
+   checkpoint blocks (round 4 — these were count_if Observation columns,
+   but CollectMetrics evaluates every aggregate per input row, which at
+   2×cores columns cost ~25% of the whole admit job and grows with
+   cluster size; caller-supplied ``extra_metrics`` stay on the
+   Observation because they are few)
 4. rank = local_rank − 1 + cumulative bucket offset, attached as a lazy
-   projection over the checkpointed result (zero extra jobs/shuffles)
+   projection over the checkpointed result (no recompute of the input)
 
 Determinism: exact iff ``order_cols`` is a total order (include
 tiebreakers). The observed counts are exact, so ranks are bit-identical
@@ -116,18 +121,14 @@ def bucketed_global_rank(
         pid = F.lit(0)
 
     obs = Observation()
-    metrics = [
-        F.count_if(F.col("__pid") == i).alias(f"__c{i}") for i in range(n_buckets)
-    ]
     extra_names = list((extra_metrics or {}).keys())
-    metrics += [(extra_metrics or {})[n].alias(n) for n in extra_names]
+    metrics = [(extra_metrics or {})[n].alias(n) for n in extra_names]
 
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
-    pre = (
-        df.withColumn("__pid", pid.cast("int"))
-        .observe(obs, *metrics)
-        .withColumn("__lr", F.row_number().over(w))
-    )
+    pre = df.withColumn("__pid", pid.cast("int"))
+    if metrics:
+        pre = pre.observe(obs, *metrics)
+    pre = pre.withColumn("__lr", F.row_number().over(w))
     if os.environ.get("HELIX_SPARK_VERBOSE"):
         # split driver-side plan work from job execution: executedPlan()
         # forces analysis/optimization/planning on this Dataset's cached
@@ -141,8 +142,17 @@ def bucketed_global_rank(
     if os.environ.get("HELIX_SPARK_PLAN_LOG"):
         PLAN_LOG.append("rank:" + pre._jdf.queryExecution().executedPlan().toString())
     ck = pre.localCheckpoint()
-    got = observed_metrics(obs)
-    counts = {i: (got.get(f"__c{i}") or 0) for i in range(n_buckets)}
+    got = observed_metrics(obs) if metrics else {}
+    # per-bucket EXACT counts via one tiny agg over the CACHED checkpoint
+    # blocks — NOT count_if Observation columns: CollectMetrics evaluates
+    # every aggregate per input row (~0.25 µs/row/column measured via a
+    # bucket-count A/B), so 2×cores columns cost ~25% of the whole admit
+    # job at bench scale and the cost grows linearly with cluster size;
+    # the hash agg over materialized rows is ~10× cheaper and flat in the
+    # bucket count
+    counts = {i: 0 for i in range(n_buckets)}
+    for r in ck.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect():
+        counts[int(r["__pid"])] = int(r["__n"])
     off_expr = None
     acc = offset
     for i in range(n_buckets):

@@ -172,7 +172,9 @@ class CrawlEngine:
         self._max_out_degree: int = 0
         # rank-bucket fanout: enough buckets that the per-bucket window
         # sort spreads over every core with slack for hash imbalance
-        self._rank_buckets = 2 * spark.sparkContext.defaultParallelism
+        self._rank_buckets = (
+            cfg.rank_buckets_per_core * spark.sparkContext.defaultParallelism
+        )
         self.counter = 0
         self.live = 0  # exact frontier live-row count (admitted − consumed)
         # host_state row count (exact, ridden on the overwrite's

@@ -63,6 +63,7 @@ def run_config(cpus: int) -> dict:
         seen_buckets=64,
         report_buckets=64,
         salt_partitions=cpus,
+        rank_buckets_per_core=int(os.environ.get("HELIX_RANK_BPC", "2")),
     )
     eng = CrawlEngine(spark, cfg, tempfile.mkdtemp(prefix=f"scale{cpus}_"), pages, assets, robots)
     t_boot = time.time()
