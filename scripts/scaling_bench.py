@@ -33,6 +33,19 @@ N_CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 H = 256
 
 
+def _steal_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — this sandbox is a VM whose
+    host periodically steals 2-3× of its CPU (load-average spikes with zero
+    resident processes); legs that ran through a storm are not measurements
+    of this code. Each leg reports its steal share so sample selection is a
+    RULE (reject steal% > 5), not judgment."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_config(cpus: int) -> dict:
     from helix_spark.config import CrawlConfig
     from helix_spark.plans.crawl import CrawlEngine
