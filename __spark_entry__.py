@@ -38,6 +38,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from helix_spark.entry_queries import ORACLE
+    from helix_spark.entry_queries import build_oracles
 
-    return dict(ORACLE)
+    return build_oracles()

@@ -1314,7 +1314,83 @@ ORACLE: dict[str, str] = {
     "lsh_ann_topk": _sql_lsh_ann_topk(),
     "ann_quantized_exact": _sql_ann_quantized_exact(),
     "ivf_ann_topk": _sql_ivf_ann_topk(),
-    # image_decode_stats / payload_verify: rows-only (binary decode has no
-    # SQL twin). The ANN queries are exact-oracled via integer-quantized
-    # bucketing/assignment (floor(x·quant) int64 arithmetic on both engines).
+    # image_decode_stats / payload_verify oracles are VALUES literals
+    # computed from the seed-deterministic generator + Python codec twin —
+    # see build_oracles() (kept lazy: ~0.8 s of driver-side image encoding
+    # that bench.py's import path shouldn't pay). The ANN queries are
+    # exact-oracled via integer-quantized bucketing/assignment
+    # (floor(x·quant) int64 arithmetic on both engines).
 }
+
+
+def _sql_values(rows: list[tuple], cols: list[str]) -> str:
+    """Render rows as a DuckDB VALUES literal (the same pinned-literal trick
+    the ANN oracles use for centroid/plane constants)."""
+
+    def lit(v):
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            # bare 99.0 would parse as DECIMAL(3,1) in DuckDB; force DOUBLE
+            return f"CAST({v!r} AS DOUBLE)"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})"
+
+
+def _sql_image_decode_stats(n: int = 48) -> str:
+    """Oracle for q_image_decode_stats: the generator (sources/synthetic.py
+    gen_image_row) is a pure function of k, so the expected decode stats are
+    computed once driver-side with the *Python* codec twin (the same code the
+    executors run) and pinned as a VALUES literal."""
+    import numpy as np
+
+    from helix_spark.sources import codecs
+    from helix_spark.sources.synthetic import gen_image_row
+
+    luma_w = np.array([0.299, 0.587, 0.114])
+    rows = []
+    for k in range(n):
+        r = gen_image_row(k)
+        p = codecs.decode_image(r["bytes"], r["fmt"])
+        rows.append((
+            r["image_id"], int(p.shape[1]), int(p.shape[0]),
+            int(float(np.mean(p @ luma_w)) * 1000),
+            bool(codecs.phash64(p) == r["phash"]),
+        ))
+    return _sql_values(rows, ["image_id", "dec_w", "dec_h", "mean_luma_milli", "phash_match"])
+
+
+def _sql_payload_verify(n: int = 32) -> str:
+    """Oracle for q_payload_verify (self-vs-self invariant run): expected
+    (pixels_ok, psnr_db, caption_ok) per image, computed driver-side with
+    the identical Python decode/psnr code the executors run."""
+    import numpy as np
+
+    from helix_spark.sources import codecs
+    from helix_spark.sources.synthetic import gen_image_row
+
+    rows = []
+    for k in range(n):
+        r = gen_image_row(k)
+        px = codecs.decode_image(r["bytes"], r["fmt"])
+        if r["fmt"] == "png":
+            ok = bool(np.array_equal(px, px))
+            p = float("inf") if ok else codecs.psnr(px, px)
+        else:
+            p = codecs.psnr(px, px)
+            ok = p >= 40.0
+        rows.append((r["image_id"], ok, min(p, 99.0), True))
+    return _sql_values(rows, ["image_id", "pixels_ok", "psnr_db", "caption_ok"])
+
+
+def build_oracles() -> dict[str, str]:
+    """Full oracle map: the static SQL twins plus the two generated-payload
+    VALUES-literal oracles (computed on demand)."""
+    d = dict(ORACLE)
+    d["image_decode_stats"] = _sql_image_decode_stats()
+    d["payload_verify"] = _sql_payload_verify()
+    return d

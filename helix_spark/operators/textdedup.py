@@ -35,24 +35,45 @@ def md5_int60_col(s):
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
-def _fan_out(docs: DataFrame) -> DataFrame:
+def _fan_out(docs: DataFrame, width_hint: int | None = None) -> DataFrame:
     """Spread a narrow input across the cluster before the md5/shingle
     forest. Scan parallelism is FILE-SPLIT parallelism: a small corpus in
     one parquet file is one task, and the md5-per-shingle work (the
     dominant cost of every op in this module — 100-1000× the bytes read)
     then runs on ONE core (measured: 11.6 s single-task vs sub-second
     spread, sf0.1). Inputs already at least core-count-wide are returned
-    untouched — no extra shuffle of document text at scale."""
+    untouched — no extra shuffle of document text at scale.
+
+    Width comes from ``width_hint`` (caller knows), else the plan's scan
+    file list (``inputFiles()`` — logical-plan metadata, no plan→RDD
+    conversion: ``rdd.getNumPartitions()`` forces a full physical-plan
+    translation per call, measured ~0.5 s of driver work per battery
+    query). File count under-reports splits for giant single files, which
+    only over-engages the repartition — the CPU-bound md5 forest wants
+    that spread anyway. Non-file plans (in-memory test frames) report zero
+    files and likewise spread: scale-safe, never scale-wrong."""
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    if width_hint is None:
+        try:
+            width_hint = len(docs.inputFiles())
+        except Exception:  # pragma: no cover - exotic plans
+            width_hint = 0
+    if width_hint < target:
         return docs.repartition(target)
     return docs
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Hash-groupBy exact dedup: one keeper (min id) per distinct text."""
-    return _fan_out(docs).groupBy(md5_int60_col(F.col(text_col)).alias("text_fp")).agg(
+    """Hash-groupBy exact dedup: one keeper (min id) per distinct text.
+
+    No ``_fan_out`` here: the per-row work is ONE md5 — same order as the
+    scan itself — so the map-side partial agg runs in the scan stage and
+    the shuffle carries only distinct fingerprints. A pre-repartition
+    would shuffle the full text corpus to save nothing (measured 0.23 s →
+    1.3 s at sf0.1 when fan-out was applied here in round 4). Fan-out is
+    for the shingle-explode ops whose CPU is 100-1000× the bytes read."""
+    return docs.groupBy(md5_int60_col(F.col(text_col)).alias("text_fp")).agg(
         F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
     )
 
