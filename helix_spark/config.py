@@ -71,6 +71,16 @@ class CrawlConfig:
     # (broadcasting tens of millions of rows per wave is a driver/executor
     # memory death at web scale — operators/politeness.select_batch)
     host_state_broadcast_max_rows: int = 2_000_000
+    # host_state write path: up to this many hosts a full overwrite per wave
+    # is one tiny file (cheaper than any incremental scheme); past it the
+    # table flips — permanently — to the LSM layout (bucketed appends of the
+    # CHANGED rows only + last-write-wins-by-wave reads + compaction), the
+    # same O(new data)-per-wave design as seen/report/frontier. NOT
+    # merge-style copy-on-write: per-wave updated hosts are hash-uniform,
+    # so at any realistic bucket count every bucket contains an update and
+    # a CoW merge degenerates to an O(table) rewrite per wave (the exact
+    # failure mode documented for seen/report in plans/crawl.py)
+    host_state_lsm_min_hosts: int = 50_000
     # rank buckets per core: the admit rank window hash-partitions by
     # bucket id, and with n_buckets ≈ partitions balls-into-bins collisions
     # give the window stage a ~2× straggler; more (smaller) buckets even

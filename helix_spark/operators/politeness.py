@@ -135,20 +135,29 @@ def select_batch(
     )
 
 
-def next_host_state(
+def host_state_updates(
     batch: DataFrame,
     robots: DataFrame | None,
     wave: int,
     host_state: DataFrame | None,
     new_hosts: DataFrame | None = None,
 ) -> DataFrame:
-    """Hosts fetched this wave become eligible again at
+    """The CHANGED host_state rows only — the copy-on-write merge input.
+
+    Hosts fetched this wave become eligible again at
     wave + 1 + crawl_delay_waves (logical clock), and their consumption
     ``cursor`` advances to the max priority batched (prefix property — see
     select_batch). ``new_hosts`` (hosts of freshly admitted frontier rows)
     are registered with cursor −1 so host_state covers EVERY frontier host:
     min(cursor) over host_state is then an exact global live-priority lower
-    bound, which read_ranged uses to prune fully-consumed frontier ranges."""
+    bound, which read_ranged uses to prune fully-consumed frontier ranges.
+
+    ``host_state`` here only feeds the already-registered anti-join for new
+    hosts — a bucket-pruned read (only the buckets the new hosts hash into)
+    is sufficient and is what keeps this O(changed data) at 10^9 hosts.
+    Fetched hosts are registered by the frontier invariant above, so every
+    update row either overwrites an existing host row (fetched) or inserts
+    a genuinely-new one (fresh) — MERGE semantics."""
     hosts = batch.groupBy("host").agg(F.max("priority").alias("cursor"))
     if robots is not None:
         hosts = hosts.join(
@@ -176,6 +185,21 @@ def next_host_state(
         if host_state is not None:
             fresh = fresh.join(host_state.select("host"), on="host", how="left_anti")
         updated = updated.unionByName(fresh)
+    return updated
+
+
+def next_host_state(
+    batch: DataFrame,
+    robots: DataFrame | None,
+    wave: int,
+    host_state: DataFrame | None,
+    new_hosts: DataFrame | None = None,
+) -> DataFrame:
+    """Full next host_state = carried-unchanged rows ∪ changed rows
+    (host_state_updates). Used by the plain-overwrite write path while the
+    host count is small; past cfg.host_state_cow_min_hosts the engine
+    writes only the updates via bucket-level copy-on-write merge."""
+    updated = host_state_updates(batch, robots, wave, host_state, new_hosts)
     if host_state is None:
         return updated
     carried = host_state.join(updated.select("host"), on="host", how="left_anti")

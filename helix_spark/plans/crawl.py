@@ -70,7 +70,7 @@ from helix_spark.operators.dedup import anti_join_seen, first_wins_in_batch
 from helix_spark.operators.extract import extract_links_jvm
 from helix_spark.operators.politeness import (
     STATUS_ROBOTS_DISALLOWED,
-    next_host_state,
+    host_state_updates,
     robots_gate,
     select_batch,
 )
@@ -424,22 +424,22 @@ class CrawlEngine:
         )
         enriched = robots_gate(enriched, self.robots)
         enriched = enriched.withColumn(
-            "category",
-            F.when(is_bad, F.lit("bad"))
-            .when(F.col("robots_blocked"), F.lit("blocked"))
-            .otherwise(F.lit("ok")),
-        ).withColumn(
             "key",
             F.when(is_bad, F.col("raw")).otherwise(F.col("canonical_url")),
         ).withColumn("key_hash", F.xxhash64(F.col("key")))
         # slim before materialization: raw/resolved are folded into `key`,
-        # and canonical_url is dropped entirely (key == canonical_url for
-        # every non-bad row — frontier/report reads use key); every byte
-        # dropped here is saved in the dedup shuffle, the rank shuffle, two
-        # checkpoints, and three table writes
+        # canonical_url is dropped entirely (key == canonical_url for every
+        # non-bad row — frontier/report reads use key), the category string
+        # is (url_status, robots_blocked) re-derived at the output split,
+        # and host/parent_host are NOT carried — they are pure functions of
+        # key/parent_url (every producer constructs them with _HOST_RE, so
+        # re-deriving after the checkpoint is exact) and URL-host strings
+        # are dead weight through the admit job's two shuffles (dedup, rank
+        # window) + checkpoint — the measured bus-bound non-scaling cost
+        # at N→4N (BENCH/BASELINE.md r4)
         enriched = enriched.select(
-            "key", "key_hash", "category", "url_status",
-            "host", "parent_url", "parent_host", "is_extracted", "status_pre",
+            "key", "key_hash", "url_status", "robots_blocked",
+            "parent_url", "is_extracted", "status_pre",
             "ctype_pre", "size_pre", "is_internal", "parent_priority", "seq",
         )
 
@@ -462,7 +462,9 @@ class CrawlEngine:
         fresh, counts, extras = bucketed_global_rank(
             fresh, ["parent_priority", "seq"], boundaries,
             rank_col="priority", offset=self.counter,
-            extra_metrics={"__ok": F.count_if(F.col("category") == "ok")},
+            extra_metrics={"__ok": F.count_if(
+                (F.col("url_status") == 0) & ~F.col("robots_blocked")
+            )},
         )
         n_frontier = int(extras["__ok"] or 0)
         if self.verbose:
@@ -472,9 +474,10 @@ class CrawlEngine:
                 flush=True,
             )
 
-        bad = fresh.filter(F.col("category") == "bad")
-        blocked = fresh.filter(F.col("category") == "blocked")
-        ok = fresh.filter(F.col("category") == "ok")
+        is_bad_f = F.col("url_status") != 0
+        bad = fresh.filter(is_bad_f)
+        blocked = fresh.filter(~is_bad_f & F.col("robots_blocked"))
+        ok = fresh.filter(~is_bad_f & ~F.col("robots_blocked"))
 
         report_rows = bad.select(
             F.col("key").alias("verified_url"),
@@ -495,15 +498,22 @@ class CrawlEngine:
         seen_rows = fresh.select(
             "key_hash",
             "key",
-            F.when(F.col("category") == "bad", F.col("url_status"))
-            .when(F.col("category") == "blocked", F.lit(STATUS_ROBOTS_DISALLOWED))
+            F.when(is_bad_f, F.col("url_status"))
+            .when(F.col("robots_blocked"), F.lit(STATUS_ROBOTS_DISALLOWED))
             .otherwise(F.lit(None).cast("int")).alias("status_code"),
             F.lit(wave).alias("wave"),
         )
+        # host/parent_host re-derived lazily over the checkpoint (exact —
+        # every producer builds them from the same _HOST_RE; ok rows always
+        # have a non-empty host, so the ""→NULL mapping matches enrichment)
+        host_out = F.regexp_extract(F.col("key"), _HOST_RE, 1)
         frontier_rows = ok.select(
             F.col("key").alias("url"),  # key == canonical_url for 'ok' rows
             F.col("key_hash").alias("url_hash"),
-            "host", "parent_url", "parent_host", "is_extracted",
+            F.when(host_out == "", None).otherwise(host_out).alias("host"),
+            "parent_url",
+            F.regexp_extract(F.col("parent_url"), _HOST_RE, 1).alias("parent_host"),
+            "is_extracted",
             "status_pre", "ctype_pre", "size_pre", "is_internal", "priority",
             F.lit(wave).alias("wave_admitted"),
         )
@@ -544,7 +554,37 @@ class CrawlEngine:
             .agg(F.min("cursor").alias("m"))
             .collect()
         )
-        return {r["hb"]: r["m"] for r in rows}
+        # cache the exact resume-time minima: the LSM write path MERGES new
+        # per-bucket minima into this cache (it only sees changed rows), so
+        # it needs the exact starting point to stay tight
+        self._mins_cache = {r["hb"]: r["m"] for r in rows}
+        return self._mins_cache
+
+    def read_host_state(self, buckets: list[int] | None = None,
+                        resolve: bool = True) -> DataFrame | None:
+        """host_state at HEAD. Below cfg.host_state_lsm_min_hosts the table
+        is a flat per-wave overwrite and comes back as-is. Past it (LSM
+        layout: bucketed appends of changed rows, version column ``wave``)
+        the read resolves last-write-wins per host — the window partitions
+        by ``host``, the same key every consumer joins on, so the exchange
+        it introduces is the one the politeness join needs anyway.
+
+        ``resolve=False`` skips the window for presence-only consumers
+        (anti-joins): hosts are never deleted, so raw membership equals
+        resolved membership. ``buckets`` prunes an LSM read to the named
+        host-hash buckets (modulus = the manifest's, aligned with the
+        frontier's host-bucket spec at migration time)."""
+        raw = self.wh.read("host_state", buckets=buckets)
+        if raw is None or not self.wh.num_buckets("host_state"):
+            return raw
+        if not resolve:
+            return raw.drop("wave")
+        w = Window.partitionBy("host").orderBy(F.col("wave").desc())
+        return (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "wave")
+        )
 
     def read_frontier(self, host_state: DataFrame | None = None) -> DataFrame | None:
         """Append-only frontier scan, manifest-pruned to (range, host-
@@ -737,11 +777,15 @@ class CrawlEngine:
         self.counter += sum(counts.values())
         self.live += n_frontier
         # register the new hosts so cursor-based range pruning stays exact
-        hs = self.wh.read("host_state")
+        hs = self.read_host_state()
+        new_hosts = None
         if hs is not None:
             new_hosts = (
                 frontier.select("host").distinct()
-                .join(hs.select("host"), on="host", how="left_anti")
+                .join(
+                    self.read_host_state(resolve=False).select("host"),
+                    on="host", how="left_anti",
+                )
                 .select(
                     "host",
                     F.lit(0).alias("next_allowed_wave"),
@@ -750,7 +794,7 @@ class CrawlEngine:
             )
             hs = hs.unionByName(new_hosts)
         self._commit_wave(wave, frontier, report, seen, hs, 0, counts,
-                          n_frontier=n_frontier)
+                          n_frontier=n_frontier, host_updates=new_hosts)
         free_local_checkpoint(frontier)
         return sum(counts.values())
 
@@ -799,14 +843,24 @@ class CrawlEngine:
 
             if self.live <= 0:  # exact driver-side counter — no frontier scan
                 break
-            host_state = wh.read("host_state")
+            host_state = self.read_host_state()
             mins = self._cursor_mins(host_state)
             frontier = wh.read_ranged("frontier", bucket_mins=mins)
             if frontier is None:
                 break
+            # the select join only needs host rows that can match a live
+            # frontier row; host_state shares the frontier's host-bucket
+            # spec once LSM, so fully-consumed buckets drop off BOTH scans
+            # from the manifests alone (10^9-host posture: the politeness
+            # read is O(live-bucket hosts), not O(all hosts))
+            hs_select = host_state
+            if wh.num_buckets("host_state") == self._frontier_nb():
+                live_hbs = wh.ranged_live_buckets("frontier", bucket_mins=mins)
+                if live_hbs is not None:
+                    hs_select = self.read_host_state(buckets=live_hbs)
             self._set_shuffle_fanout(self.live)
             batch = select_batch(
-                frontier, host_state, wave, cfg.per_host_budget, cfg.salt_partitions,
+                frontier, hs_select, wave, cfg.per_host_budget, cfg.salt_partitions,
                 # map-split estimate straight off the manifest: keeps the
                 # wave loop free of per-wave plan→RDD conversions
                 input_splits=wh.ranged_leaf_count("frontier", bucket_mins=mins),
@@ -991,8 +1045,21 @@ class CrawlEngine:
             self.counter += sum(counts.values())
             self.live += n_frontier - batch_count
 
-            hs = next_host_state(batch, self.robots, wave, host_state,
-                                 new_hosts=new_frontier)
+            # changed host rows only (fetched + genuinely new). The full
+            # next state is composed lazily and is ONLY evaluated by the
+            # small-scale overwrite / one-time LSM-migration write paths —
+            # steady-state LSM appends just hs_updates (O(batch hosts))
+            hs_updates = host_state_updates(
+                batch, self.robots, wave,
+                self.read_host_state(resolve=False),
+                new_hosts=new_frontier,
+            )
+            if host_state is not None:
+                hs = host_state.join(
+                    hs_updates.select("host"), on="host", how="left_anti"
+                ).unionByName(hs_updates)
+            else:
+                hs = hs_updates
             # bloom maintenance is independent of the table writes — run it
             # in the commit pool; with the early split, report/seen carry
             # only the ADMIT halves (settled halves already written)
@@ -1011,6 +1078,7 @@ class CrawlEngine:
                 extra_jobs=extra_jobs,
                 filters_prep=lambda: self._ingest_filters(admit_seen),
                 early=early,
+                host_updates=hs_updates,
             )
             _mark("commit")
             if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
@@ -1028,10 +1096,24 @@ class CrawlEngine:
                 )
                 if m2:
                     cm["report"] = m2
+                if wh.num_buckets("host_state"):
+                    # LSM host_state: bound read amplification, then refresh
+                    # the cursor-minima cache EXACTLY — the per-wave merge
+                    # rule (min with changed buckets) can only tighten
+                    # downward, so this is where stale minima catch up after
+                    # the previous min host of a bucket advances
+                    m4 = wh.compact_bucketed(
+                        "host_state", version_col="wave",
+                        max_files_per_bucket=cfg.compact_max_files,
+                    )
+                    if m4:
+                        cm["host_state"] = m4
+                    self._mins_cache = None
+                    self._cursor_mins(self.read_host_state())
                 # frontier "compaction" is a manifest edit: (range, host-
                 # bucket) leaves entirely below their bucket's min cursor
                 # are dropped with zero IO
-                mins = self._cursor_mins(wh.read("host_state"))
+                mins = self._cursor_mins(self.read_host_state())
                 if mins is not None:
                     m3 = wh.prune_ranged("frontier", bucket_mins=mins)
                     if m3:
@@ -1172,7 +1254,8 @@ class CrawlEngine:
                      n_frontier: int | None = None,
                      avg_load_ms: float | None = None,
                      extra_jobs: dict | None = None,
-                     filters_prep=None, early: dict | None = None) -> None:
+                     filters_prep=None, early: dict | None = None,
+                     host_updates=None) -> None:
         """``extra_jobs``: {table: thunk → manifest} to run in the commit
         pool alongside the table writes. ``filters_prep``: thunk run in the
         pool BEFORE _save_filters on the same pool task (bloom ingest must
@@ -1265,27 +1348,77 @@ class CrawlEngine:
             obs_hosts = Observation()
             nb = self._frontier_nb()
             hb = F.pmod(F.xxhash64(F.col("host")), F.lit(nb)).cast("int")
-            host_state = host_state.observe(
-                obs_hosts,
-                F.count(F.lit(1)).alias("n"),
-                # per-bucket cursor minima ride the SAME write job — next
-                # wave's frontier pruning then needs no agg/collect job
-                *[
-                    F.min(F.when(hb == i, F.col("cursor"))).alias(f"m{i}")
-                    for i in range(nb)
-                ],
+            min_cols = [
+                F.min(F.when(hb == i, F.col("cursor"))).alias(f"m{i}")
+                for i in range(nb)
+            ]
+            hs_bucketed = wh.num_buckets("host_state") > 0
+            # LSM once past the threshold (and permanently once the table is
+            # bucketed): per-wave write is O(changed hosts), not O(all
+            # hosts). A full overwrite at 10^8-10^9 hosts would be the one
+            # remaining O(state)-per-wave write in an otherwise LSM design.
+            lsm = hs_bucketed or (
+                host_updates is not None
+                and self.n_hosts > cfg.host_state_lsm_min_hosts
             )
-            jobs["host_state"] = pool.submit(wh.overwrite, "host_state", host_state)
+            if lsm and hs_bucketed and host_updates is not None:
+                # steady state: append ONLY the changed rows; the per-bucket
+                # cursor minima + fresh-host count ride the tiny write
+                upd = host_updates.withColumn("wave", F.lit(wave)).observe(
+                    obs_hosts,
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(
+                        (F.col("next_allowed_wave") == 0) & (F.col("cursor") == -1)
+                    ).alias("fresh"),
+                    *min_cols,
+                )
+                nb_hs = wh.num_buckets("host_state")
+                jobs["host_state"] = pool.submit(
+                    wh.append_bucketed, "host_state", upd, "host", nb_hs
+                )
+                hs_mode = "lsm"
+            else:
+                # small-scale overwrite, or the ONE-TIME O(table) migration
+                # into the bucketed LSM layout at the threshold crossing
+                # (bucket modulus = the frontier's, so host-bucket pruning
+                # aligns across the two tables)
+                full = host_state.observe(
+                    obs_hosts, F.count(F.lit(1)).alias("n"), *min_cols
+                )
+                if lsm:
+                    jobs["host_state"] = pool.submit(
+                        wh.overwrite_bucketed, "host_state",
+                        full.withColumn("wave", F.lit(wave)), "host", nb,
+                    )
+                else:
+                    jobs["host_state"] = pool.submit(wh.overwrite, "host_state", full)
+                hs_mode = "full"
 
             def _update_host_stats():
                 jobs["host_state"].result()
                 got = observed_metrics(obs_hosts)
-                self.n_hosts = int(got.get("n") or 0)
-                self._mins_cache = {
-                    i: got[f"m{i}"]
-                    for i in range(nb)
-                    if got.get(f"m{i}") is not None
-                }
+                if hs_mode == "lsm":
+                    # the write saw CHANGED rows only: count inserts exactly
+                    # (fresh rows are the only inserts — fetched hosts are
+                    # always pre-registered by the frontier invariant) and
+                    # MERGE the changed buckets' minima into the cache.
+                    # min() keeps the cache a safe lower bound; it cannot
+                    # rise when the previous min host advances, so the
+                    # compaction cadence refreshes it exactly.
+                    self.n_hosts += int(got.get("fresh") or 0)
+                    cache = dict(self._mins_cache or {})
+                    for i in range(nb):
+                        m = got.get(f"m{i}")
+                        if m is not None:
+                            cache[i] = min(cache[i], m) if i in cache else m
+                    self._mins_cache = cache
+                else:
+                    self.n_hosts = int(got.get("n") or 0)
+                    self._mins_cache = {
+                        i: got[f"m{i}"]
+                        for i in range(nb)
+                        if got.get(f"m{i}") is not None
+                    }
 
             jobs_after = _update_host_stats
         else:

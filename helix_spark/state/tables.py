@@ -157,7 +157,13 @@ class SnapshotWarehouse:
     def merge_upsert(self, name: str, updates: DataFrame, key: str, num_buckets: int = 64) -> str:
         """MERGE semantics (WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT) with
         bucket-level copy-on-write. Last-write-wins on the key within
-        ``updates`` is the caller's responsibility (dedupe first)."""
+        ``updates`` is the caller's responsibility (dedupe first).
+
+        Scale note: suitable for tables whose per-call updates cluster into
+        FEW buckets. Hash-uniform per-wave updates (seen/report/host_state)
+        touch every bucket once updates ≥ bucket count, degenerating this to
+        an O(table) rewrite — those tables use the LSM paths instead
+        (append_bucketed + version-resolved reads + compact_bucketed)."""
         m = self._load_manifest(name)
         bucketed = updates.withColumn(
             BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
@@ -173,7 +179,11 @@ class SnapshotWarehouse:
         old_paths = [p for b in affected for p in buckets.get(str(b), [])]
         if old_paths:
             old = self._read_parquet(old_paths, m)
-            keep = old.join(updates.select(key).distinct(), on=key, how="left_anti")
+            # per-wave updates are a small fraction of the table — broadcast
+            # the key set so the anti-join never shuffles the kept rows
+            keep = old.join(
+                F.broadcast(updates.select(key).distinct()), on=key, how="left_anti"
+            )
             keep = keep.withColumn(
                 BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
             )
@@ -193,6 +203,30 @@ class SnapshotWarehouse:
         return self._save_manifest(
             name, {"key": key, "num_buckets": num_buckets, "buckets": buckets,
                    "schema": m.get("schema") or self._data_schema_json(updates)})
+
+    def overwrite_bucketed(self, name: str, df: DataFrame, key: str,
+                           num_buckets: int = 64) -> str:
+        """Full rewrite of a table INTO the bucketed layout (readable with
+        bucket pruning, appendable with append_bucketed) — the one-time
+        migration step when a table that was small enough for plain
+        ``overwrite`` crosses into LSM territory. O(table), by design run
+        once at the threshold crossing. Callers attach Observations to
+        ``df`` directly if they need write-riding metrics."""
+        bucketed = df.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+        )
+        d = self._new_data_dir(name)
+        bucketed.repartition(min(num_buckets, 32), F.col(BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(d)
+        buckets = {}
+        for b in range(num_buckets):
+            sub = os.path.join(d, f"{BUCKET_COL}={b}")
+            if os.path.exists(sub):
+                buckets[str(b)] = [sub]
+        return self._save_manifest(
+            name, {"key": key, "num_buckets": num_buckets, "buckets": buckets,
+                   "schema": self._data_schema_json(df)})
 
     def append_bucketed(self, name: str, df: DataFrame, key: str, num_buckets: int = 64,
                         base_manifest: str | None = None) -> str:
@@ -467,6 +501,21 @@ class SnapshotWarehouse:
         if m is None:
             return None
         return (m.get("bucket_col"), m.get("num_buckets"))
+
+    def ranged_live_buckets(self, name: str, min_exclusive: int | None = None,
+                            bucket_mins: dict[int, int] | None = None) -> list[int] | None:
+        """Host-hash buckets that still have LIVE leaves after cursor
+        pruning — from the manifest alone. A consumer keyed by the same
+        (bucket_col, num_buckets) spec (host_state) can restrict its own
+        read to these buckets: hosts whose every frontier leaf is consumed
+        cannot appear in the wave's select join. None for flat manifests."""
+        m = self._load_manifest(name)
+        if m is None or m.get("bucket_col") is None:
+            return None
+        hbs: set[int] = set()
+        for entry in self._ranged_leaves(m, min_exclusive, bucket_mins).values():
+            hbs.update(int(h) for h in entry)
+        return sorted(hbs)
 
     def ranged_leaf_count(self, name: str, min_exclusive: int | None = None,
                           bucket_mins: dict[int, int] | None = None) -> int:

@@ -62,7 +62,7 @@ def main():
     out = eng.run(resume=True)
     crawl_sec = round(time.time() - t0, 1)
 
-    hs = eng.wh.read("host_state")
+    hs = eng.read_host_state()  # LWW-resolved if the table went LSM
     hb = F.pmod(F.xxhash64(F.col("host")), F.lit(cfg.frontier_host_buckets)).cast("int")
     lag_row = hs.filter(F.col("host") == "host0.test").select(
         hb.alias("hb"), "cursor").collect()[0]

@@ -119,3 +119,36 @@ def test_append_bucketed_and_compaction(spark, tmp_path):
     assert all(v == (11, "val11") for v in rows.values())
     # second compaction is a no-op (file counts now below threshold)
     assert wh.compact_bucketed("t", version_col="wave", max_files_per_bucket=3) is None
+
+
+def test_ranged_live_buckets_prunes_host_state_read(spark, tmp_path):
+    """The frontier manifest knows which host-hash buckets still hold live
+    rows; a host_state table sharing the bucket spec restricts its read to
+    those buckets — fully-consumed buckets cost zero IO on BOTH tables."""
+    wh = SnapshotWarehouse(spark, str(tmp_path / "p"))
+    hosts = [f"h{i}.test" for i in range(8)]
+    rows = spark.createDataFrame(
+        [(i, hosts[i % 8]) for i in range(64)], "priority long, host string"
+    )
+    mf = wh.append_ranged("frontier", rows, "priority", range_bits=3,
+                          bucket_col="host", num_buckets=4)
+    hs = spark.createDataFrame(
+        [(h, 0, -1, 0) for h in hosts],
+        "host string, next_allowed_wave int, cursor long, wave int",
+    )
+    mh = wh.overwrite_bucketed("host_state", hs, "host", 4)
+    wh.commit(0, {"frontier": mf, "host_state": mh})
+
+    hb_of = {
+        r["host"]: r["hb"]
+        for r in spark.createDataFrame([(h,) for h in hosts], "host string")
+        .select("host", F.pmod(F.xxhash64("host"), F.lit(4)).cast("int").alias("hb"))
+        .collect()
+    }
+    dead = hb_of[hosts[0]]
+    live = wh.ranged_live_buckets("frontier", bucket_mins={dead: 10_000})
+    assert dead not in live and live  # that bucket's leaves are all consumed
+    pruned = wh.read("host_state", buckets=live)
+    got = {r["host"] for r in pruned.collect()}
+    assert got == {h for h, b in hb_of.items() if b != dead}
+    assert len(pruned.inputFiles()) < len(wh.read("host_state").inputFiles())
