@@ -78,9 +78,35 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def shingle_explode(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Materialized per-doc DISTINCT shingle explode: one (id, sh, __x) row
+    per distinct shingle (``__x`` = md5-int60 of the shingle), shingle-less
+    docs kept as a single NULL row (explode_outer). The shareable input of
+    the near-dup pipeline: MinHash signatures consume ``__x`` (min over the
+    distinct set ≡ min over the multiset) and the exact-Jaccard verify
+    consumes ``sh`` — ONE explode+md5 pass over the corpus instead of one
+    per stage. localCheckpoint is memory-and-disk: the materialization is
+    O(corpus shingles), the same order as the shuffle the verify stage's
+    shingle join performs anyway."""
+    return (
+        _fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(shingles_col(F.col(text_col), shingle_n))
+            ).alias("sh"),
+        )
+        .withColumn("__x", md5_int60_col(F.col("sh")))
+        .localCheckpoint()
+    )
+
+
 def minhash_signature(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 4, shingle_n: int = 3,
+    k: int = 4, shingle_n: int = 3, exploded: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash over word shingles. Documents with no shingles
     (shorter than n words) get NULL components. ``id_col`` must be unique
@@ -96,11 +122,19 @@ def minhash_signature(
     per doc per partition, not one row per shingle). ``explode_outer``
     keeps shingle-less docs as a single NULL row → NULL mins, preserving
     the original NULL-component contract. md5 semantics unchanged — the
-    DuckDB oracle is identical."""
-    ex = _fan_out(docs).select(
-        F.col(id_col),
-        F.explode_outer(shingles_col(F.col(text_col), shingle_n)).alias("__sh"),
-    ).select(F.col(id_col), md5_int60_col(F.col("__sh")).alias("__x"))
+    DuckDB oracle is identical.
+
+    ``exploded`` (a shingle_explode result) reuses an already-materialized
+    explode instead of streaming a fresh one — min over its distinct
+    shingle set equals min over the raw multiset, so results are
+    bit-identical either way."""
+    if exploded is not None:
+        ex = exploded.select(F.col(id_col), F.col("__x"))
+    else:
+        ex = _fan_out(docs).select(
+            F.col(id_col),
+            F.explode_outer(shingles_col(F.col(text_col), shingle_n)).alias("__sh"),
+        ).select(F.col(id_col), md5_int60_col(F.col("__sh")).alias("__x"))
     x = F.col("__x")
     aggs = []
     for i in range(k):
@@ -112,7 +146,7 @@ def minhash_signature(
 def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 8, bands: int = 4, shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = None, exploded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-component signature into bands, bucket-join.
     → candidate pairs (id_a < id_b) that share ≥1 band bucket. Scale path:
@@ -130,7 +164,9 @@ def minhash_lsh_pairs(
     # tree — without truncation Catalyst re-inlines the md5/shingle
     # transform forest into every branch and plan compilation alone
     # explodes (observed: minutes at 5k docs with the bucket-cap variant).
-    sig = minhash_signature(docs, text_col, id_col, k, shingle_n).localCheckpoint()
+    sig = minhash_signature(
+        docs, text_col, id_col, k, shingle_n, exploded=exploded
+    ).localCheckpoint()
     rows_per_band = k // bands
     buckets = []
     for b in range(bands):
@@ -239,26 +275,30 @@ def near_dup_pairs(
     exact Jaccard (ngram_jaccard_pairs) is quadratic on repetitive corpora;
     this bounds the exact stage to the LSH candidate set, which is the only
     shape that survives 100 TB. Deterministic (LSH buckets are md5-derived),
-    so a SQL oracle reproduces it exactly."""
+    so a SQL oracle reproduces it exactly.
+
+    The shingle explode+md5 pass (the dominant CPU of both stages) runs
+    ONCE: shingle_explode materializes (id, sh, __x) and the signature agg
+    reads ``__x`` while the verify join reads ``sh`` off the same
+    checkpointed blocks — previously the corpus was exploded twice inside
+    this one query (streamed for signatures, re-exploded for verify)."""
+    sh_all = shingle_explode(docs, text_col, id_col, shingle_n)
     cand = minhash_lsh_pairs(
-        docs, text_col, id_col, k, bands, shingle_n, max_bucket_size
+        docs, text_col, id_col, k, bands, shingle_n, max_bucket_size,
+        exploded=sh_all,
     ).localCheckpoint()  # small pair list; truncate before the shingle joins
-    # exact verify touches ONLY candidate docs: prune the shingle explode to
+    # exact verify touches ONLY candidate docs: prune the shared explode to
     # ids that appear in a candidate pair (broadcast semi — candidates are
-    # tiny relative to the corpus at scale) and materialize it once instead
-    # of re-running the explode for each side of the pair join + the sizes
+    # tiny relative to the corpus at scale)
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     sh = (
-        _fan_out(docs).join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),
-        )
-        .localCheckpoint()
+        sh_all.filter(F.col("sh").isNotNull())
+        .join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .select(F.col(id_col), "sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "sh")
@@ -328,18 +368,27 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 _CC_DIGEST_MOD = 2147483647  # mod-sums keep the digest ANSI-overflow-safe
 
 
-def _edge_digest(edges: DataFrame) -> tuple:
-    """Cheap fixpoint witness for an edge set: count + three mod-sums.
-    Equal digests across rounds ⇒ unchanged set (up to a negligible
-    collision probability); the round function is deterministic in the
-    edge set, so an unchanged set IS the fixpoint."""
-    row = edges.agg(
-        F.count("*"),
-        F.sum(F.col("src") % _CC_DIGEST_MOD),
-        F.sum(F.col("dst") % _CC_DIGEST_MOD),
-        F.sum(F.xxhash64("src", "dst") % _CC_DIGEST_MOD),
-    ).collect()[0]
-    return tuple(row)
+def _ck_with_digest(edges: DataFrame) -> tuple[DataFrame, tuple]:
+    """localCheckpoint an edge set with its fixpoint digest (count + three
+    mod-sums) riding the SAME materialization as an Observation — one job
+    per CC round instead of checkpoint + separate digest agg. Equal digests
+    across rounds ⇒ unchanged set (up to a negligible collision
+    probability); the round function is deterministic in the edge set, so
+    an unchanged set IS the fixpoint."""
+    from pyspark.sql import Observation
+
+    from helix_spark.operators.rank import observed_metrics
+
+    obs = Observation()
+    ck = edges.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("src") % _CC_DIGEST_MOD).alias("s1"),
+        F.sum(F.col("dst") % _CC_DIGEST_MOD).alias("s2"),
+        F.sum(F.xxhash64("src", "dst") % _CC_DIGEST_MOD).alias("s3"),
+    ).localCheckpoint()
+    got = observed_metrics(obs)
+    return ck, (got.get("n", 0), got.get("s1"), got.get("s2"), got.get("s3"))
 
 
 def connected_components(
@@ -382,16 +431,14 @@ def connected_components(
     from helix_spark.operators.rank import free_local_checkpoint
 
     # canonical orientation: src > dst (self-loops dropped)
-    edges = (
+    edges, prev = _ck_with_digest(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
         )
         .distinct()
-        .localCheckpoint()
     )
-    prev = _edge_digest(edges)
     converged = False
     rounds = 0
     for _ in range(max_iters):
@@ -416,13 +463,11 @@ def connected_components(
             .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
         )
         ss_self = mins2.select("src", F.col("__m").alias("dst"))
-        new = (
+        new, cur = _ck_with_digest(
             ss_nbrs.unionByName(ss_self)
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
         )
-        cur = _edge_digest(new)
         free_local_checkpoint(edges)
         edges = new
         if cur == prev:
