@@ -1,0 +1,83 @@
+"""Same-session A/B harness for the bench.py headline crawl (VERDICT r4 #1).
+
+Runs bench.bench_crawl's exact config (200k pages, 64 hosts, 3 waves,
+local[32]) in THIS process (one JVM per process — run one variant per
+invocation; the driver script below loops via subprocess).
+
+Variants (first CLI arg):
+  base        — code as committed
+  no_early    — early-commit split disabled (threshold above any batch)
+  all         — run every variant in separate subprocesses, best-of-N each
+
+Usage: python scripts/crawl_ab.py all [n_samples]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+VARIANTS = ["base", "no_early"]
+
+
+def run_variant(variant: str) -> float:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    import bench
+    from helix_spark.plans import crawl as crawlmod
+
+    if variant == "no_early":
+        # dataclass defaults are captured at decoration time — patch the
+        # engine's entry so the cfg instance is mutated post-construction
+        orig_init = crawlmod.CrawlEngine.__init__
+
+        def patched(self, spark, cfg, *a, **kw):
+            cfg.early_commit_min_batch = 10**12
+            orig_init(self, spark, cfg, *a, **kw)
+
+        crawlmod.CrawlEngine.__init__ = patched
+
+    from helix_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"crawl-ab-{variant}",
+        master=f"local[{bench.CPUS}]",
+        shuffle_partitions=2 * bench.CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sec, ups, fetched = bench.bench_crawl(spark)
+    print(json.dumps({"variant": variant, "sec": round(sec, 3),
+                      "urls_per_sec": round(ups, 1), "fetched": fetched}))
+    return sec
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    if which != "all":
+        run_variant(which)
+        return
+    results: dict[str, list[float]] = {}
+    for variant in VARIANTS:
+        for _ in range(n):
+            out = subprocess.run(
+                [sys.executable, __file__, variant],
+                capture_output=True, text=True, timeout=600,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if not line:
+                print(f"{variant}: FAILED\n{out.stderr[-2000:]}")
+                continue
+            rec = json.loads(line[-1])
+            results.setdefault(variant, []).append(rec["sec"])
+            print(rec, flush=True)
+    print("\nbest-of-%d:" % n)
+    for v, samples in results.items():
+        print(f"  {v}: best={min(samples):.1f}s samples={samples}")
+
+
+if __name__ == "__main__":
+    main()

@@ -173,6 +173,37 @@ def custom_checks(spark) -> int:
             f"distinct of {len(rank_steady)} (waves={out.waves})"
         )
         failures += 1
+
+    # 5) no plan→RDD conversion in ANY battery query's construction path
+    #    (VERDICT r4 "What's wrong" #2: df.rdd rebuilds the query as an RDD
+    #    plan — a full analysis + deserializer stage — per call; sizing must
+    #    come from inputFiles()/manifests/caller hints instead). Trap the
+    #    Python-side DataFrame.rdd property while CONSTRUCTING every battery
+    #    query; any access fails.
+    import traceback
+
+    from pyspark.sql import DataFrame as _DF
+
+    import __spark_entry__ as _e
+
+    rdd_prop = _DF.rdd
+    rdd_hits: list[str] = []
+
+    def _trap(self):  # noqa: ANN001
+        rdd_hits.append("".join(traceback.format_stack()[-3:-1]))
+        return rdd_prop.fget(self)
+
+    try:
+        _DF.rdd = property(_trap)
+        for qname, qfn in _e.queries().items():
+            qfn(spark, SF)  # build (and for eager-checkpoint queries, run)
+    finally:
+        _DF.rdd = rdd_prop
+    if not rdd_hits:
+        print("PASS no_rdd_in_battery: 0 DataFrame.rdd accesses across all queries")
+    else:
+        print(f"FAIL no_rdd_in_battery: {len(rdd_hits)} accesses; first:\n{rdd_hits[0]}")
+        failures += 1
     return failures
 
 
@@ -212,7 +243,7 @@ def main() -> int:
         else:
             failures += 1
     failures += custom_checks(spark)
-    n_total = len(CHECKS) + 4
+    n_total = len(CHECKS) + 5
     spark.stop()
     print(f"{n_total - failures}/{n_total} plan checks pass")
     return 1 if failures else 0
