@@ -81,6 +81,16 @@ class CrawlConfig:
     # a CoW merge degenerates to an O(table) rewrite per wave (the exact
     # failure mode documented for seen/report in plans/crawl.py)
     host_state_lsm_min_hosts: int = 50_000
+    # storage level NAME (pyspark.StorageLevel attribute) for the wave
+    # loop's two heavy localCheckpoints (admit rank, verified batch).
+    # None = engine default (JVM deserialized rows — zero serialization
+    # cost, but the cached blocks occupy and re-read 3-6× the bytes).
+    # "MEMORY_AND_DISK" (PySpark's = SERIALIZED; pair with
+    # spark.rdd.compress=true for lz4 on the bytes) trades cheap per-core
+    # serialization CPU for the shared memory-bandwidth those blocks burn
+    # — the bus is the measured scaling limiter at local[16]
+    # (BENCH/BASELINE.md round-5 A/B)
+    wave_checkpoint_storage: str | None = None
     # rank buckets per core: the admit rank window hash-partitions by
     # bucket id, and with n_buckets ≈ partitions balls-into-bins collisions
     # give the window stage a ~2× straggler; more (smaller) buckets even

@@ -96,6 +96,7 @@ def bucketed_global_rank(
     rank_col: str = "priority",
     offset: int = 0,
     extra_metrics: dict[str, Column] | None = None,
+    storage_level=None,
 ) -> tuple[DataFrame, dict[int, int], dict]:
     """Add a 0-based dense global rank (plus ``offset``) by ``order_cols``
     in a single job ending in a single localCheckpoint.
@@ -141,7 +142,10 @@ def bucketed_global_rank(
               flush=True)
     if os.environ.get("HELIX_SPARK_PLAN_LOG"):
         PLAN_LOG.append("rank:" + pre._jdf.queryExecution().executedPlan().toString())
-    ck = pre.localCheckpoint()
+    # storage_level None → JVM default (deserialized rows); callers on a
+    # bandwidth-bound box pass a serialized level (config.py
+    # wave_checkpoint_storage) so the cached blocks cost bytes, not bus
+    ck = pre.localCheckpoint(True, storage_level)
     got = observed_metrics(obs) if metrics else {}
     # per-bucket EXACT counts via one tiny agg over the CACHED checkpoint
     # blocks — NOT count_if Observation columns: CollectMetrics evaluates

@@ -154,6 +154,13 @@ class CrawlEngine:
             self.seeds_df = spark.createDataFrame(
                 [(s,) for s in sorted(set(self.seed_canon))], "__seed_key string"
             ).localCheckpoint()
+        # wave-loop heavy-checkpoint storage (config.wave_checkpoint_storage):
+        # resolved once to a StorageLevel, None = JVM default (deserialized)
+        self._ckpt_level = None
+        if cfg.wave_checkpoint_storage:
+            from pyspark.storagelevel import StorageLevel
+
+            self._ckpt_level = getattr(StorageLevel, cfg.wave_checkpoint_storage)
         self.bloom: PartitionedBloom | None = None
         # The big URL Column expressions cost ~0.3-0.4 s of py4j round-trips
         # EACH to construct, and a wave needs them every iteration. Column
@@ -465,6 +472,7 @@ class CrawlEngine:
             extra_metrics={"__ok": F.count_if(
                 (F.col("url_status") == 0) & ~F.col("robots_blocked")
             )},
+            storage_level=self._ckpt_level,
         )
         n_frontier = int(extras["__ok"] or 0)
         if self.verbose:
@@ -914,7 +922,7 @@ class CrawlEngine:
                 PLAN_LOG.append(
                     "select:" + verified._jdf.queryExecution().executedPlan().toString()
                 )
-            verified = verified.localCheckpoint()
+            verified = verified.localCheckpoint(True, self._ckpt_level)
             batch = verified  # every batch column survives verify_batch
             stats = observed_metrics(obs)  # {} iff the batch was empty
             _mark("select+verify")

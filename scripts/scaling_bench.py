@@ -52,11 +52,14 @@ def run_config(cpus: int) -> dict:
     from helix_spark.session import get_spark
     from helix_spark.sources.synthetic import gen_pages_spark
 
+    conf = {"spark.driver.memory": "48g"}
+    if os.environ.get("HELIX_RDD_COMPRESS"):
+        conf["spark.rdd.compress"] = "true"  # lz4 on serialized cached blocks
     spark = get_spark(
         app_name=f"helix-scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
-        extra_conf={"spark.driver.memory": "48g"},
+        extra_conf=conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = gen_pages_spark(spark, PAGES, H)
@@ -77,14 +80,17 @@ def run_config(cpus: int) -> dict:
         report_buckets=64,
         salt_partitions=cpus,
         rank_buckets_per_core=int(os.environ.get("HELIX_RANK_BPC", "2")),
+        wave_checkpoint_storage=os.environ.get("HELIX_CKPT_STORAGE") or None,
     )
     eng = CrawlEngine(spark, cfg, tempfile.mkdtemp(prefix=f"scale{cpus}_"), pages, assets, robots)
     t_boot = time.time()
     admitted = eng.bootstrap_frontier(pages.select("url"))
     boot_sec = time.time() - t_boot
+    s0, j0 = _steal_jiffies()
     t0 = time.time()
     out = eng.run(resume=True)
     dt = time.time() - t0
+    s1, j1 = _steal_jiffies()
     spark.stop()
     return {
         "cpus": cpus,
@@ -94,6 +100,7 @@ def run_config(cpus: int) -> dict:
         "sec": round(dt, 1),
         "urls_per_sec": round(out.total_fetched / dt, 1),
         "waves": out.waves,
+        "steal_pct": round(100.0 * (s1 - s0) / max(1, j1 - j0), 2),
     }
 
 
@@ -123,7 +130,12 @@ def main():
     for cpus in (N_CPUS, 4 * N_CPUS):
         rs = [run_in_subprocess(cpus) for _ in range(runs)]
         samples[f"local{cpus}_samples_sec"] = [r["sec"] for r in rs]
-        legs[cpus] = min(rs, key=lambda r: r["sec"])
+        samples[f"local{cpus}_steal_pct"] = [r.get("steal_pct") for r in rs]
+        # sample selection is a RULE, not judgment: a leg that ran through a
+        # host CPU-steal storm (>5% of jiffies stolen) is not a measurement
+        # of this code — drop it when any clean sample exists
+        clean = [r for r in rs if (r.get("steal_pct") or 0) <= 5.0]
+        legs[cpus] = min(clean or rs, key=lambda r: r["sec"])
     rN, r4N = legs[N_CPUS], legs[4 * N_CPUS]
     eff = (r4N["urls_per_sec"] / rN["urls_per_sec"]) / 4.0
     out = {"pages": PAGES, "waves": WAVES,
