@@ -83,14 +83,16 @@ class CrawlConfig:
     host_state_lsm_min_hosts: int = 50_000
     # storage level NAME (pyspark.StorageLevel attribute) for the wave
     # loop's two heavy localCheckpoints (admit rank, verified batch).
-    # None = engine default (JVM deserialized rows — zero serialization
-    # cost, but the cached blocks occupy and re-read 3-6× the bytes).
-    # "MEMORY_AND_DISK" (PySpark's = SERIALIZED; pair with
-    # spark.rdd.compress=true for lz4 on the bytes) trades cheap per-core
-    # serialization CPU for the shared memory-bandwidth those blocks burn
-    # — the bus is the measured scaling limiter at local[16]
-    # (BENCH/BASELINE.md round-5 A/B)
-    wave_checkpoint_storage: str | None = None
+    # Default "MEMORY_AND_DISK" is PySpark's SERIALIZED level; with
+    # spark.rdd.compress=true (session.py default) the blocks are
+    # lz4-compressed bytes instead of JVM object graphs. Paired A/B on the
+    # 6M-URL scaling harness (BENCH/BASELINE.md round 5): ties the
+    # deserialized default at local[4], beats it at local[16] (52.6/55.1 s
+    # vs 59.0/67.0 s paired legs) — the deser object graphs cost GC scan +
+    # memory bandwidth, exactly what the 16-core legs are starved of.
+    # Serialized WITHOUT compression is strictly worse than either (~35%):
+    # serialization CPU without the byte shrink. None → JVM deserialized.
+    wave_checkpoint_storage: str | None = "MEMORY_AND_DISK"
     # rank buckets per core: the admit rank window hash-partitions by
     # bucket id, and with n_buckets ≈ partitions balls-into-bins collisions
     # give the window stage a ~2× straggler; more (smaller) buckets even

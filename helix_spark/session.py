@@ -62,6 +62,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # lz4 on serialized cached blocks: only SERIALIZED storage levels
+        # are affected (the wave loop's heavy checkpoints, config.py
+        # wave_checkpoint_storage default); deserialized caches ignore it.
+        # Paired A/B on the 6M-URL scaling harness: compressed-serialized
+        # ties deserialized at local[4] and beats it at local[16]
+        # (BENCH/BASELINE.md round 5) — and at real-cluster RAM-per-core
+        # the compact blocks are what avoids spill
+        .config("spark.rdd.compress", "true")
         # v2 commits move task output at task-commit time instead of a
         # serial driver-side rename pass at job commit — the crawl's
         # partitioned appends produce O(ranges × buckets) leaf files whose
