@@ -268,7 +268,7 @@ def ngram_jaccard_pairs(
 def near_dup_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 8, bands: int = 4, shingle_n: int = 3, threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = None, share_explode: bool = True,
 ) -> DataFrame:
     """THE scale-correct near-dup pipeline: MinHash-LSH candidate generation
     → exact n-gram Jaccard verification on CANDIDATES ONLY. Corpus-wide
@@ -277,29 +277,54 @@ def near_dup_pairs(
     shape that survives 100 TB. Deterministic (LSH buckets are md5-derived),
     so a SQL oracle reproduces it exactly.
 
-    The shingle explode+md5 pass (the dominant CPU of both stages) runs
-    ONCE: shingle_explode materializes (id, sh, __x) and the signature agg
-    reads ``__x`` while the verify join reads ``sh`` off the same
-    checkpointed blocks — previously the corpus was exploded twice inside
-    this one query (streamed for signatures, re-exploded for verify)."""
-    sh_all = shingle_explode(docs, text_col, id_col, shingle_n)
+    ``share_explode`` picks between two bit-identical plans for the
+    explode+md5 pass (the dominant CPU of both stages) —
+    `scripts/neardup_ab.py`, both corpus regimes measured:
+
+    - True (default): shingle_explode MATERIALIZES (id, sh, __x) once; the
+      signature agg reads ``__x`` and the verify join reads ``sh`` off the
+      same checkpointed blocks. Wins ~40% at 50k docs whenever a
+      meaningful fraction of docs appear in candidate pairs (dedup
+      corpora usually qualify — that is why they are being deduped).
+    - False: the signature agg STREAMS its explode (map-side combine ships
+      one row per doc per partition — nothing corpus-sized is ever
+      stored) and the verify re-explodes CANDIDATE docs only. Prefer when
+      candidates ≪ corpus AND executor block storage is the scarce
+      resource: it avoids an O(corpus-shingles) checkpoint (~10× the
+      corpus bytes) at the cost of re-exploding candidates."""
+    sh_all = (
+        shingle_explode(docs, text_col, id_col, shingle_n)
+        if share_explode else None
+    )
     cand = minhash_lsh_pairs(
         docs, text_col, id_col, k, bands, shingle_n, max_bucket_size,
         exploded=sh_all,
     ).localCheckpoint()  # small pair list; truncate before the shingle joins
-    # exact verify touches ONLY candidate docs: prune the shared explode to
-    # ids that appear in a candidate pair (broadcast semi — candidates are
-    # tiny relative to the corpus at scale)
+    # exact verify touches ONLY candidate docs: prune to ids that appear in
+    # a candidate pair (broadcast semi — candidates are tiny relative to
+    # the corpus at scale)
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = (
-        sh_all.filter(F.col("sh").isNotNull())
-        .join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-        .select(F.col(id_col), "sh")
-    )
+    if share_explode:
+        sh = (
+            sh_all.filter(F.col("sh").isNotNull())
+            .join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+            .select(F.col(id_col), "sh")
+        )
+    else:
+        sh = (
+            _fan_out(docs).join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(shingles_col(F.col(text_col), shingle_n))
+                ).alias("sh"),
+            )
+            .localCheckpoint()
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "sh")
     sb = sh.select(F.col(id_col).alias("id_b"), "sh")
