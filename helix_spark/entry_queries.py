@@ -742,9 +742,10 @@ NEAR_DUP_CAP = 16
 def q_near_dup_pairs(spark, sf):
     """Scale path for near-dup detection: LSH candidates → exact Jaccard
     verify on candidates only (never corpus-wide quadratic). The hot-bucket
-    guard is ON (cap 16): the synthetic corpus has ~10 exact copies per
-    distinct text, so uncapped band buckets go quadratic — over-cap buckets
-    emit star pairs to the bucket's min id instead (union-find-equivalent
+    guard is ON (cap 16): the synthetic corpus shares boilerplate phrasing
+    across documents, so some band buckets collect large near-identical
+    clusters and would go quadratic uncapped — over-cap buckets emit star
+    pairs to the bucket's min id instead (union-find-equivalent
     connectivity, O(bucket) output). The oracle reproduces the star rule."""
     from helix_spark.operators.textdedup import near_dup_pairs
 
