@@ -851,6 +851,7 @@ class CrawlEngine:
 
             if self.live <= 0:  # exact driver-side counter — no frontier scan
                 break
+            t0_sv = time.time()
             host_state = self.read_host_state()
             mins = self._cursor_mins(host_state)
             frontier = wh.read_ranged("frontier", bucket_mins=mins)
@@ -922,7 +923,20 @@ class CrawlEngine:
                 PLAN_LOG.append(
                     "select:" + verified._jdf.queryExecution().executedPlan().toString()
                 )
-            verified = verified.localCheckpoint(True, self._ckpt_level)
+            if self.verbose:
+                # split the near-constant select+verify phase: DRIVER time
+                # (manifest reads, plan construction, py4j Column trees) vs
+                # the checkpoint JOB (scan→join→window→write) — they need
+                # different fixes (BENCH/BASELINE.md round-5 decomposition)
+                t_drv = time.time() - t0_sv
+                verified = verified.localCheckpoint(True, self._ckpt_level)
+                print(
+                    f"[helix-spark]     select driver={t_drv:.1f}s "
+                    f"ckpt-job={time.time() - t0_sv - t_drv:.1f}s",
+                    flush=True,
+                )
+            else:
+                verified = verified.localCheckpoint(True, self._ckpt_level)
             batch = verified  # every batch column survives verify_batch
             stats = observed_metrics(obs)  # {} iff the batch was empty
             _mark("select+verify")
