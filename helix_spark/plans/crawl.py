@@ -131,12 +131,35 @@ class CrawlEngine:
         # from it, and a generated `pages` (gen_pages_spark) would otherwise
         # be recomputed per derivation.
         pages = pages.localCheckpoint()
-        self.pages_store = prepare_pages_store(pages, sort_query=cfg.sort_query).localCheckpoint()
-        self.pages_html = pages.filter(F.col("html") != "").select(
-            canonical_url_col(F.col("url"), sort_query=cfg.sort_query).alias("final_url"),
-            "html",
-        ).localCheckpoint()
-        self.assets = page_assets.localCheckpoint()
+        # Static per-crawl stores are pre-partitioned AND pre-sorted on
+        # their join key before the one-time checkpoint: LogicalRDD
+        # preserves outputPartitioning/outputOrdering through
+        # localCheckpoint, so EVERY wave's store-side Exchange and Sort
+        # vanish from the verify join (url_hash), the render join
+        # (final_url — this one otherwise re-shuffles the whole HTML corpus
+        # per wave), and the asset join. One shuffle each at init buys
+        # shuffle-free store sides for the crawl's lifetime; when a store
+        # is small enough to broadcast the partitioning is simply unused.
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        def _keyed_ckpt(df: DataFrame, key: str) -> DataFrame:
+            return (
+                df.repartition(n_shuffle, key)
+                .sortWithinPartitions(key)
+                .localCheckpoint()
+            )
+
+        self.pages_store = _keyed_ckpt(
+            prepare_pages_store(pages, sort_query=cfg.sort_query), "url_hash"
+        )
+        self.pages_html = _keyed_ckpt(
+            pages.filter(F.col("html") != "").select(
+                canonical_url_col(F.col("url"), sort_query=cfg.sort_query).alias("final_url"),
+                "html",
+            ),
+            "final_url",
+        )
+        self.assets = _keyed_ckpt(page_assets, "page_url")
         # static per crawl: asset-free crawls skip the asset join/window/
         # count stages in every wave's admission plan (_collect_admissions)
         self._has_assets = not self.assets.isEmpty()
