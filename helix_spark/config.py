@@ -93,6 +93,16 @@ class CrawlConfig:
     # Serialized WITHOUT compression is strictly worse than either (~35%):
     # serialization CPU without the byte shrink. None → JVM deserialized.
     wave_checkpoint_storage: str | None = "MEMORY_AND_DISK"
+    # adaptive shuffle fanout: the static planner sizes post-shuffle stages
+    # from driver-known row counts at ~this many rows per partition (capped
+    # at 2×cores, floored at 8). Round-6 tested the "waves run at 8-10 busy
+    # cores — widen the stages" hypothesis with paired alternating legs at
+    # the bench config: 4k rows/partition measured STRICTLY WORSE
+    # (34.9/39.0 s vs 23.1/23.8 s crawl) — the extra tasks/blocks cost more
+    # than the parallelism buys; the idle cores come from the serial
+    # stage chain + driver gaps, not partition count. 25k stands; the knob
+    # stays so a cluster deployment can re-derive it from measurements.
+    fanout_rows_per_partition: int = 25_000
     # rank buckets per core: the admit rank window hash-partitions by
     # bucket id, and with n_buckets ≈ partitions balls-into-bins collisions
     # give the window stage a ~2× straggler; more (smaller) buckets even

@@ -44,6 +44,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan + fan-out for the CPU-heavy narrow projections (URL
+    canonicalization, PII regexes, per-doc text stats): the testdata tables
+    are single parquet files, so the scan is ONE task and a projection whose
+    per-row cost is 100-1000× the scan runs on one core (guide §2.2/§6.1 —
+    measured: url_canonicalize 3.3 s single-task at sf0.1). _fan_out
+    round-robins to core count only when the file-split count is below it —
+    at real scale (many splits) this is a no-op, never an extra shuffle.
+    Results are row-identical; only placement changes."""
+    from helix_spark.operators.textdedup import _fan_out
+
+    return _fan_out(_t(spark, sf_dir, name))
+
+
 DEC = "decimal(18,2)"
 
 # ---------------------------------------------------------------------------
@@ -190,13 +204,20 @@ def q_url_canonicalize(spark, sf):
     """URL canonicalization kernel over synthesized URLs (Resource.cs:36-66
     semantics: lower scheme/host, strip fragment, drop :80, sort params,
     remove dot segments)."""
-    ev = _t(spark, sf, "events")
+    from helix_spark.functions.urls import with_canonical_url_2step
+
+    ev = _t_spread(spark, sf, "events")
     url = F.concat(
         F.lit("HTTP://Host"), (F.col("user_id") % 50).cast("string"),
         F.lit(".Test.com:80/a/b/../c/./d?b="), (F.col("event_id") % 13).cast("string"),
         F.lit("&a="), (F.col("user_id") % 7).cast("string"), F.lit("#frag"),
     )
-    return ev.select("event_id", canonical_url_col(url).alias("canonical_url"))
+    # multi-projection canonicalization (bit-identical to canonical_url_col;
+    # see functions/urls.with_canonical_url_2step): the one-step tree is
+    # interpreted and re-evaluates its shared subexpressions per reference
+    return with_canonical_url_2step(ev, url, out="canonical_url").select(
+        "event_id", "canonical_url"
+    )
 
 
 SQL_URL_CANONICALIZE = """
@@ -398,7 +419,7 @@ SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents
 
 
 def q_token_count(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _t_spread(spark, sf, "documents")
     return docs.select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tok"),
@@ -419,7 +440,7 @@ def q_quality_score(spark, sf):
     spec lives in functions/text.py:_quality_sum_col)."""
     from helix_spark.functions.text import quality_score_milli_col
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_spread(spark, sf, "documents")
     return docs.select("doc_id", quality_score_milli_col(F.col("text")).alias("quality_milli"))
 
 
@@ -439,7 +460,7 @@ FROM s
 
 
 def q_lang_id(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _t_spread(spark, sf, "documents")
     return docs.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang"))
 
 
@@ -1120,7 +1141,7 @@ def q_pii_redact(spark, sf):
     trick for exercising string kernels on deterministic data), then redact
     all three with global regexp_replace and count what was removed. The
     patterns are lookaround-free so Java regex and RE2 agree."""
-    ev = _t(spark, sf, "events")
+    ev = _t_spread(spark, sf, "events")
     text = F.concat(
         F.lit("user"), F.col("user_id").cast("string"),
         F.lit(" <u"), F.col("user_id").cast("string"),

@@ -97,6 +97,34 @@ def quality_score_milli_col(text: Column) -> Column:
     return F.floor(_quality_sum_col(text) / F.lit(3.0) * 1000).cast("long")
 
 
+def shingles_from_tokens_col(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from an ALREADY-MATERIALIZED token array column.
+
+    ``toks`` must be a bound attribute (produced by a prior projection, e.g.
+    ``.select(tokens_col(text).alias("__t")).select(shingles_from_tokens_col
+    (F.col("__t")))``): interpreted expression evaluation computes every
+    occurrence of a non-attribute child independently, and the shingle tree
+    references the token array 4+ times — with the tokenization inlined the
+    split+filter re-ran per reference (measured 1.76 s → 0.30 s at sf0.1 for
+    the whole shingle explode when the callers switched to the two-step
+    projection; CollapseProject keeps the steps apart because the token
+    array is non-cheap and multiply referenced). Same zip_with-of-slices
+    construction as before — identical output strings."""
+    n = F.size(toks)
+    m = n - F.lit(k - 1)
+
+    def build():
+        acc = F.slice(toks, 1, m)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc, F.slice(toks, j + 1, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return acc
+
+    return F.when(n >= k, build()).otherwise(F.array().cast("array<string>"))
+
+
 def shingles_col(text: Column, k: int = 3) -> Column:
     """Word k-shingles as strings 'w1 w2 w3' → array<string> (may be empty).
 

@@ -273,6 +273,122 @@ def canonical_url_col(url: Column, sort_query: bool = True) -> Column:
     return F.when(is_hier & (host != ""), canon).otherwise(F.lit(None))
 
 
+def with_canonical_url_2step(df, src: Column, out: str = "canonical_url",
+                             sort_query: bool = True):
+    """Multi-projection twin of ``withColumn(out, canonical_url_col(src))``
+    — bit-identical output, radically cheaper evaluation and planning.
+
+    ``canonical_url_col`` is one Column tree in which the shared
+    sub-expressions (fragment-stripped url, body, authority, hostport,
+    host, port, …) are textually re-inlined dozens of times; interpreted
+    expression evaluation (the tree contains an ``array_sort`` lambda →
+    whole-stage-codegen fallback) computes every occurrence independently,
+    and Catalyst re-analyzes the ~50 KB tree on every plan that embeds it
+    (measured: a visible slice of the crawl's per-wave driver gap). This
+    form materializes each shared intermediate ONCE per row in a chain of
+    projections over bound attributes — the same two-step trick as
+    ``shingles_from_tokens_col`` — using the IDENTICAL formulas, so values
+    match the one-step form exactly (pinned by tests/test_urls.py).
+    CollapseProject keeps the steps apart (non-cheap, multiply
+    referenced). Intermediates use the ``__cu_`` prefix and are dropped."""
+    P = "__cu_"
+    u = F.regexp_replace(F.trim(src), r"#.*", "")
+    df = df.withColumn(P + "u", u)
+    cu = F.col(P + "u")
+    df = (
+        df.withColumn(P + "scheme", F.lower(F.regexp_extract(cu, _SCHEME_RE, 1)))
+        .withColumn(P + "hier", cu.rlike(_ABS_RE))
+        .withColumn(P + "body", F.regexp_replace(cu, _ABS_RE, ""))
+    )
+    body = F.col(P + "body")
+    df = (
+        df.withColumn(P + "ap", F.substring_index(body, "?", 1))
+        .withColumn(
+            P + "q",
+            F.when(body.contains("?"), F.regexp_replace(body, r"^[^?]*\?", ""))
+            .otherwise(F.lit(None)),
+        )
+    )
+    ap = F.col(P + "ap")
+    df = df.withColumn(P + "auth", F.substring_index(ap, "/", 1))
+    auth = F.col(P + "auth")
+    df = df.withColumn(
+        P + "path", F.substring(ap, F.length(auth) + 1, F.lit(2**31 - 1))
+    )
+    has_user = auth.contains("@")
+    df = (
+        df.withColumn(
+            P + "user",
+            F.when(
+                has_user,
+                F.concat(F.regexp_replace(auth, r"@[^@]*$", ""), F.lit("@")),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            P + "hp",
+            F.when(has_user, F.regexp_extract(auth, r"@([^@]*)$", 1)).otherwise(auth),
+        )
+    )
+    hp = F.col(P + "hp")
+    is_v6 = hp.startswith("[")
+    df = (
+        df.withColumn(
+            P + "host",
+            F.when(is_v6, F.lower(F.regexp_extract(hp, r"^(\[[^\]]*\])", 1)))
+            .otherwise(F.lower(F.substring_index(hp, ":", 1))),
+        )
+        .withColumn(
+            P + "port",
+            F.when(is_v6, F.regexp_extract(hp, r"\]:(\d+)$", 1)).otherwise(
+                F.when(hp.contains(":"), F.substring_index(hp, ":", -1)).otherwise(
+                    F.lit("")
+                )
+            ),
+        )
+    )
+    scheme = F.col(P + "scheme")
+    port = F.col(P + "port")
+    default_port = (
+        F.when(scheme == "http", F.lit("80"))
+        .when(scheme == "https", F.lit("443"))
+        .when(scheme == "ftp", F.lit("21"))
+        .when(scheme == "ws", F.lit("80"))
+        .when(scheme == "wss", F.lit("443"))
+        .otherwise(F.lit(""))
+    )
+    path = F.col(P + "path")
+    df = (
+        df.withColumn(
+            P + "pp",
+            F.when((port == "") | (port == default_port), F.lit("")).otherwise(
+                F.concat(F.lit(":"), port)
+            ),
+        )
+        .withColumn(
+            P + "np",
+            _remove_dot_segments_col(F.when(path == "", F.lit("/")).otherwise(path)),
+        )
+    )
+    np_ = F.col(P + "np")
+    df = df.withColumn(
+        P + "np2", F.when(np_.startswith("/"), np_).otherwise(F.concat(F.lit("/"), np_))
+    )
+    q = F.col(P + "q")
+    sorted_query = F.array_join(F.array_sort(F.split(q, "&")), "&") if sort_query else q
+    query_part = F.when(q.isNull() | (q == ""), F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_query)
+    )
+    host = F.col(P + "host")
+    canon = F.concat(
+        scheme, F.lit("://"), F.col(P + "user"), host, F.col(P + "pp"),
+        F.col(P + "np2"), query_part,
+    )
+    df = df.withColumn(
+        out, F.when(F.col(P + "hier") & (host != ""), canon).otherwise(F.lit(None))
+    )
+    return df.drop(*[c for c in df.columns if c.startswith(P)])
+
+
 def canonical_status_col(url: Column) -> Column:
     """Status classification of a raw absolute URL (pre-canonicalization).
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from helix_spark.functions.text import shingles_col
+from helix_spark.functions.text import shingles_from_tokens_col, tokens_col
 
 # (a, b) pairs for the universal-hash permutations
 # h_i(x) = ((x % P) * a_i + b_i) % P with P = 2^31 − 1 and a_i, b_i < P:
@@ -80,7 +80,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def shingle_explode(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 3,
+    shingle_n: int = 3, width_hint: int | None = None,
 ) -> DataFrame:
     """Materialized per-doc DISTINCT shingle explode: one (id, sh, __x) row
     per distinct shingle (``__x`` = md5-int60 of the shingle), shingle-less
@@ -91,12 +91,16 @@ def shingle_explode(
     per stage. localCheckpoint is memory-and-disk: the materialization is
     O(corpus shingles), the same order as the shuffle the verify stage's
     shingle join performs anyway."""
+    # TWO-STEP projection: tokens materialize once per row, the shingle
+    # tree reads the bound attribute (shingles_from_tokens_col docstring —
+    # the inlined one-step form re-ran the tokenization per reference)
     return (
-        _fan_out(docs)
+        _fan_out(docs, width_hint)
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
         .select(
             F.col(id_col),
             F.explode_outer(
-                F.array_distinct(shingles_col(F.col(text_col), shingle_n))
+                F.array_distinct(shingles_from_tokens_col(F.col("__t"), shingle_n))
             ).alias("sh"),
         )
         .withColumn("__x", md5_int60_col(F.col("sh")))
@@ -107,6 +111,7 @@ def shingle_explode(
 def minhash_signature(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 4, shingle_n: int = 3, exploded: DataFrame | None = None,
+    width_hint: int | None = None,
 ) -> DataFrame:
     """k-permutation MinHash over word shingles. Documents with no shingles
     (shorter than n words) get NULL components. ``id_col`` must be unique
@@ -131,9 +136,13 @@ def minhash_signature(
     if exploded is not None:
         ex = exploded.select(F.col(id_col), F.col("__x"))
     else:
-        ex = _fan_out(docs).select(
+        ex = _fan_out(docs, width_hint).select(
+            F.col(id_col), tokens_col(F.col(text_col)).alias("__t")
+        ).select(
             F.col(id_col),
-            F.explode_outer(shingles_col(F.col(text_col), shingle_n)).alias("__sh"),
+            F.explode_outer(
+                shingles_from_tokens_col(F.col("__t"), shingle_n)
+            ).alias("__sh"),
         ).select(F.col(id_col), md5_int60_col(F.col("__sh")).alias("__x"))
     x = F.col("__x")
     aggs = []
@@ -147,6 +156,7 @@ def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 8, bands: int = 4, shingle_n: int = 3,
     max_bucket_size: int | None = None, exploded: DataFrame | None = None,
+    width_hint: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-component signature into bands, bucket-join.
     → candidate pairs (id_a < id_b) that share ≥1 band bucket. Scale path:
@@ -165,7 +175,8 @@ def minhash_lsh_pairs(
     # transform forest into every branch and plan compilation alone
     # explodes (observed: minutes at 5k docs with the bucket-cap variant).
     sig = minhash_signature(
-        docs, text_col, id_col, k, shingle_n, exploded=exploded
+        docs, text_col, id_col, k, shingle_n, exploded=exploded,
+        width_hint=width_hint,
     ).localCheckpoint()
     rows_per_band = k // bands
     buckets = []
@@ -212,7 +223,7 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.5,
-    assert_max_docs: int | None = None,
+    assert_max_docs: int | None = None, width_hint: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via shingle explode + equi-self-join.
     Output pairs with jaccard_milli = floor(1000*|∩|/|∪|) ≥ threshold.
@@ -236,9 +247,13 @@ def ngram_jaccard_pairs(
     # (sizes + both join sides) and the md5/shingle transform forest would
     # otherwise run per reference (the same CollapseProject landmine the
     # near-dup pipeline already guards against)
-    sh = _fan_out(docs).select(
+    sh = _fan_out(docs, width_hint).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__t")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("sh"),
+        F.explode(
+            F.array_distinct(shingles_from_tokens_col(F.col("__t"), shingle_n))
+        ).alias("sh"),
     ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_a")
@@ -269,6 +284,7 @@ def near_dup_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 8, bands: int = 4, shingle_n: int = 3, threshold: float = 0.5,
     max_bucket_size: int | None = None, share_explode: bool = True,
+    width_hint: int | None = None,
 ) -> DataFrame:
     """THE scale-correct near-dup pipeline: MinHash-LSH candidate generation
     → exact n-gram Jaccard verification on CANDIDATES ONLY. Corpus-wide
@@ -293,12 +309,12 @@ def near_dup_pairs(
       resource: it avoids an O(corpus-shingles) checkpoint (~10× the
       corpus bytes) at the cost of re-exploding candidates."""
     sh_all = (
-        shingle_explode(docs, text_col, id_col, shingle_n)
+        shingle_explode(docs, text_col, id_col, shingle_n, width_hint)
         if share_explode else None
     )
     cand = minhash_lsh_pairs(
         docs, text_col, id_col, k, bands, shingle_n, max_bucket_size,
-        exploded=sh_all,
+        exploded=sh_all, width_hint=width_hint,
     ).localCheckpoint()  # small pair list; truncate before the shingle joins
     # exact verify touches ONLY candidate docs: prune to ids that appear in
     # a candidate pair (broadcast semi — candidates are tiny relative to
@@ -309,18 +325,26 @@ def near_dup_pairs(
         .distinct()
     )
     if share_explode:
+        # localCheckpoint the candidate-pruned shingle set: it feeds THREE
+        # consumers (sizes, both sides of the intersection join), so the
+        # semi-join + cand_ids distinct would otherwise re-execute per
+        # consumer (measured: three identical Union+HashAggregate+semi
+        # subtrees in the sf0.1 plan). O(candidate shingles) — the same
+        # order as the intersection join's shuffle.
         sh = (
             sh_all.filter(F.col("sh").isNotNull())
             .join(F.broadcast(cand_ids), on=id_col, how="left_semi")
             .select(F.col(id_col), "sh")
+            .localCheckpoint()
         )
     else:
         sh = (
-            _fan_out(docs).join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+            _fan_out(docs, width_hint).join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+            .select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
             .select(
                 F.col(id_col),
                 F.explode(
-                    F.array_distinct(shingles_col(F.col(text_col), shingle_n))
+                    F.array_distinct(shingles_from_tokens_col(F.col("__t"), shingle_n))
                 ).alias("sh"),
             )
             .localCheckpoint()
@@ -350,7 +374,7 @@ def near_dup_pairs(
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              bits: int = 16) -> DataFrame:
+              bits: int = 16, width_hint: int | None = None) -> DataFrame:
     """SimHash: per token, md5-derived bits vote ±1; bit i of the output is
     set iff more than half the tokens have bit i set (2·ones > n). Pure bit
     ops (shiftright / %) so a plain-SQL oracle reproduces it exactly.
@@ -373,7 +397,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # guards against): the md5 token-int array is referenced 2×bits times
     # and CollapseProject will not re-inline a non-cheap expression —
     # materialize it ONCE per row
-    with_ints = _fan_out(docs).select(F.col(id_col), ints.alias("__ints"))
+    with_ints = _fan_out(docs, width_hint).select(F.col(id_col), ints.alias("__ints"))
     arr = F.col("__ints")
     n = F.size(arr)
 
@@ -420,6 +444,7 @@ def connected_components(
     pairs: DataFrame, nodes: DataFrame,
     id_a: str = "id_a", id_b: str = "id_b", node_col: str = "doc_id",
     max_iters: int = 30,
+    ckpt_every: int = 2,
     _rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the union-find
@@ -444,8 +469,15 @@ def connected_components(
     the fixpoint the edge set is a forest of depth-1 stars centered at
     each component's minimum id, read off directly as the labels. Fixpoint
     detection: the edge-set digest (count + mod-sums) stops changing.
-    Each round is localCheckpointed (iterative-loop lineage landmine) and
-    the previous round's blocks are freed.
+    ``ckpt_every`` rounds are chained LAZILY into one materialization
+    (checkpoint + digest) — per-materialization job overhead (scheduling,
+    block writes) was the dominant cost of the whole CC pass on small edge
+    sets (round-6 measurement), and the star rounds are idempotent at the
+    fixpoint so running up to ``ckpt_every − 1`` extra rounds past it is
+    harmless (the algorithm provably converges monotonically — no cycles —
+    so a stable composite digest IS the fixpoint). Plan depth stays
+    bounded at ~5·ckpt_every exchanges per job (lineage landmine still
+    truncated each materialization); the previous blocks are freed.
 
     RAISES RuntimeError if max_iters rounds pass without convergence
     (30 rounds covers any real graph at O(log n); silently returning
@@ -464,13 +496,10 @@ def connected_components(
         )
         .distinct()
     )
-    converged = False
-    rounds = 0
-    for _ in range(max_iters):
-        rounds += 1
+    def _one_round(e: DataFrame) -> DataFrame:
         # large-star
-        sym = edges.select("src", "dst").unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        sym = e.select("src", "dst").unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         mins = sym.groupBy("src").agg(F.min("dst").alias("__m"))
         m = F.least(F.col("__m"), F.col("src"))
@@ -488,16 +517,25 @@ def connected_components(
             .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
         )
         ss_self = mins2.select("src", F.col("__m").alias("dst"))
-        new, cur = _ck_with_digest(
+        return (
             ss_nbrs.unionByName(ss_self)
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
+
+    converged = False
+    rounds = 0
+    while rounds < max_iters and not converged:
+        steps = min(max(ckpt_every, 1), max_iters - rounds)
+        lazy = edges
+        for _ in range(steps):
+            lazy = _one_round(lazy)
+            rounds += 1
+        new, cur = _ck_with_digest(lazy)
         free_local_checkpoint(edges)
         edges = new
         if cur == prev:
             converged = True
-            break
         prev = cur
     if _rounds_out is not None:
         _rounds_out.append(rounds)
@@ -527,6 +565,7 @@ def simhash_near_dup_pairs(
     bits: int = 60, bands: int = 6, max_hamming: int = 3,
     collapse_identical: bool = True,
     max_bucket_size: int | None = None,
+    width_hint: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs — the Hamming-space member of the dedup
     family (exact / MinHash-Jaccard / embedding-cosine / SimHash-Hamming).
@@ -580,14 +619,20 @@ def simhash_near_dup_pairs(
         raise ValueError(f"bits={bits} must divide into bands={bands}")
     width = bits // bands
     mask = (1 << width) - 1
-    sig = simhash64(docs, text_col, id_col, bits).localCheckpoint()
+    sig = simhash64(docs, text_col, id_col, bits, width_hint).localCheckpoint()
 
     within = None
     base = sig
     if collapse_identical:
+        # localCheckpoint the collapse aggregate: `base` feeds one slice
+        # scan per band on BOTH sides of the candidate self-join (plus the
+        # within-group stars), so an unmaterialized groupBy would re-run
+        # the full signature aggregation 2×bands+1 times — measured as
+        # 2×bands HashAggregate+Exchange subtrees in the sf0.1 plan. One
+        # row per distinct signature: tiny at any scale.
         groups = sig.groupBy("simhash").agg(
             F.min(id_col).alias("__rep"), F.count("*").alias("__n")
-        )
+        ).localCheckpoint()
         within = (
             sig.join(
                 groups.filter(F.col("__n") > 1).select("simhash", "__rep"),

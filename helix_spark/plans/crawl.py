@@ -65,6 +65,7 @@ from helix_spark.functions.urls import (
     canonical_url_col,
     canonicalize_url_py,
     resolve_url_col,
+    with_canonical_url_2step,
 )
 from helix_spark.operators.dedup import anti_join_seen, first_wins_in_batch
 from helix_spark.operators.extract import extract_links_jvm
@@ -190,7 +191,6 @@ class CrawlEngine:
         # trees are immutable and bind by input column NAME, so build them
         # once here and reuse across waves (measured: ~0.8 s/wave of pure
         # driver-side expression construction removed).
-        self._canon_resolved = canonical_url_col(F.col("resolved"), sort_query=cfg.sort_query)
         self._status_resolved = canonical_status_col(F.col("resolved"))
         self._link_resolver = resolve_url_col(F.col("href"), F.col("final_url"))
         # strategy-only estimate of the next admission's post-dedup
@@ -231,12 +231,30 @@ class CrawlEngine:
         conf = self.spark.conf
         prev = conf.get("spark.sql.adaptive.enabled", "true")
         prev_parts = conf.get("spark.sql.shuffle.partitions")
+        prev_minsplit = conf.get("spark.sql.files.minPartitionNum", None)
         conf.set("spark.sql.adaptive.enabled", "false")
+        # scan-parallelism floor (guide §6.1): the frontier/state tables are
+        # many SMALL leaf files, and the 4 MB open-cost packing rule bins
+        # ~30 of them per 128 MB split — the wave's select scan stage ran
+        # ~7-10 tasks regardless of core count, the measured non-scaling
+        # term inside the select+verify checkpoint job. A floor of one
+        # split per core keeps the scan (and the map side of the politeness
+        # window) as wide as the cluster at any scale; it cannot split
+        # below one file per task, so tiny reads are unaffected.
+        if not os.environ.get("HELIX_NO_SCAN_FLOOR"):  # A/B hook
+            conf.set(
+                "spark.sql.files.minPartitionNum",
+                str(self.spark.sparkContext.defaultParallelism),
+            )
         try:
             yield
         finally:
             conf.set("spark.sql.adaptive.enabled", prev)
             conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev_minsplit is None:
+                self.spark.conf.unset("spark.sql.files.minPartitionNum")
+            else:
+                conf.set("spark.sql.files.minPartitionNum", prev_minsplit)
 
     def _set_shuffle_fanout(self, est_rows: int) -> None:
         """The static planner's replacement for AQE partition coalescing:
@@ -248,7 +266,9 @@ class CrawlEngine:
         with it, big waves still get the full fanout. Deterministic —
         results never depend on partition counts."""
         cores = self.spark.sparkContext.defaultParallelism
-        target = max(8, min(2 * cores, est_rows // 25_000 + 1))
+        target = max(
+            8, min(2 * cores, est_rows // self.cfg.fanout_rows_per_partition + 1)
+        )
         self.spark.conf.set("spark.sql.shuffle.partitions", str(target))
 
     # ----------------------------------------------------------- filter serde
@@ -409,13 +429,21 @@ class CrawlEngine:
 
         → (frontier_rows, report_rows, seen_rows, partition_counts, n_frontier)"""
         cfg = self.cfg
-        canonical = self._canon_resolved
         status = F.when(F.col("resolved").isNull(), F.lit(STATUS_MALFORMED_URI)).otherwise(
             self._status_resolved
         )
+        # canonicalization runs as the MULTI-PROJECTION form: the one-step
+        # Column tree re-inlines its shared subexpressions dozens of times,
+        # which both re-evaluates them per row (the tree is interpreted —
+        # array_sort lambda blocks codegen) and bloats every wave's admit
+        # plan analysis (functions/urls.with_canonical_url_2step; values
+        # bit-identical, pinned by tests/test_urls.py)
+        enriched = with_canonical_url_2step(
+            items, F.col("resolved"), out="canonical_url",
+            sort_query=cfg.sort_query,
+        )
         enriched = (
-            items.withColumn("canonical_url", canonical)
-            .withColumn("url_status", status)
+            enriched.withColumn("url_status", status)
             .withColumn(
                 "url_status",
                 F.when(
@@ -809,6 +837,18 @@ class CrawlEngine:
         self.live += n_frontier
         # register the new hosts so cursor-based range pruning stays exact
         hs = self.read_host_state()
+        # The commit below MERGES per-bucket cursor minima from the CHANGED
+        # rows into self._mins_cache (plans/crawl._update_host_stats). On a
+        # fresh engine over an existing LSM host_state the cache is None, and
+        # merging into an empty cache would seed a PARTIAL cache whose
+        # entries come from changed rows only — the next wave's merge could
+        # then assign a bucket a minimum ABOVE the true min of an unchanged
+        # laggard host in that bucket, and range pruning would drop frontier
+        # leaves that still hold its live rows (silent URL loss). Make the
+        # cache exact FIRST: _cursor_mins recomputes it from the full table
+        # when (and only when) it is None.
+        if hs is not None and self.wh.num_buckets("host_state"):
+            self._cursor_mins(hs)
         new_hosts = None
         if hs is not None:
             new_hosts = (
@@ -1093,10 +1133,33 @@ class CrawlEngine:
             # changed host rows only (fetched + genuinely new). The full
             # next state is composed lazily and is ONLY evaluated by the
             # small-scale overwrite / one-time LSM-migration write paths —
-            # steady-state LSM appends just hs_updates (O(batch hosts))
+            # steady-state LSM appends just hs_updates (O(batch hosts)).
+            # The already-registered anti-join only needs host_state rows
+            # that could MATCH a new host — in the LSM regime prune the raw
+            # read to the buckets the new hosts hash into (host equality
+            # cannot match across buckets), so the per-wave scan is
+            # O(new-host buckets' rows), not O(all appended rows) between
+            # compactions (round-5 ADVICE; the 10^9-host posture the
+            # politeness docstring promises). One tiny distinct job over
+            # the already-checkpointed admit output computes the bucket ids.
+            hs_anti_src = None
+            nb_hs_read = wh.num_buckets("host_state")
+            if nb_hs_read:
+                new_hbs = sorted(
+                    r["b"]
+                    for r in new_frontier.select(
+                        F.pmod(F.xxhash64(F.col("host")), F.lit(nb_hs_read))
+                        .cast("int").alias("b")
+                    ).distinct().collect()
+                )
+                hs_anti_src = self.read_host_state(
+                    buckets=new_hbs, resolve=False
+                )
+            else:
+                hs_anti_src = self.read_host_state(resolve=False)
             hs_updates = host_state_updates(
                 batch, self.robots, wave,
-                self.read_host_state(resolve=False),
+                hs_anti_src,
                 new_hosts=new_frontier,
             )
             if host_state is not None:

@@ -23,12 +23,31 @@ sys.path.insert(0, "/root/repo")
 
 VARIANTS = ["base", "no_early"]
 
+# cfg-field overrides per variant (applied post-construction, same
+# patched-__init__ trick as no_early): lets any CrawlConfig knob be A/B'd
+# with alternating fresh-JVM legs, e.g. the round-6 fanout sizing.
+CFG_OVERRIDES = {
+    "f25k": {"fanout_rows_per_partition": 25_000},
+    "f4k": {"fanout_rows_per_partition": 4_000},
+    "f2k": {"fanout_rows_per_partition": 2_000},
+}
+
 
 def run_variant(variant: str) -> float:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     import bench
     from helix_spark.plans import crawl as crawlmod
 
+    if variant in CFG_OVERRIDES:
+        over = CFG_OVERRIDES[variant]
+        orig_init = crawlmod.CrawlEngine.__init__
+
+        def patched_cfg(self, spark, cfg, *a, **kw):
+            for k, v in over.items():
+                setattr(cfg, k, v)
+            orig_init(self, spark, cfg, *a, **kw)
+
+        crawlmod.CrawlEngine.__init__ = patched_cfg
     if variant == "no_early":
         # dataclass defaults are captured at decoration time — patch the
         # engine's entry so the cfg instance is mutated post-construction

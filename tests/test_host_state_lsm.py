@@ -210,3 +210,85 @@ def test_lsm_resume_no_refetch(spark, tmp_path, lsm_run):
     )
     out2 = eng2.run(resume=True)
     assert out2.total_fetched == 0
+
+
+def test_lsm_enqueue_on_fresh_engine_keeps_cursor_cache_safe(spark, tmp_path):
+    """A fresh engine over an existing LSM warehouse that FIRST sees the
+    table through enqueue_urls must not seed a partial cursor-minima cache:
+    the per-wave merge only sees CHANGED rows, so a bucket first entering
+    the cache through the merge could get a minimum ABOVE a politeness-
+    delayed host's true min — and range pruning would then drop frontier
+    leaves that still hold that host's live rows (round-5 ADVICE, high).
+
+    Pins: (a) the cache stays a per-bucket LOWER bound of the true cursor
+    minima after enqueue + further waves, and (b) the pruned frontier read
+    retains every live row the unpruned read has."""
+    H, PAGES = 64, 3000
+    from helix_spark.sources.synthetic import gen_pages_spark
+
+    pages = gen_pages_spark(spark, PAGES, H)
+    assets = spark.createDataFrame(
+        [], "page_url string, asset_url string, content_type string, "
+            "size long, status_code int, seq int",
+    )
+    # every non-seed host gets a long crawl delay: after its first fetch it
+    # lags with LIVE low-priority frontier rows — the laggard population
+    robots = spark.createDataFrame(
+        [(f"host{h}.test", [], 0 if h < 4 else 50) for h in range(H)],
+        "host string, disallow_prefixes array<string>, crawl_delay_waves int",
+    )
+    cfg = _cfg(
+        host_state_lsm_min_hosts=0, per_host_budget=5, max_waves=3,
+        seeds=["http://host0.test/p/0"],
+    )
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "wh"), pages, assets, robots)
+    eng.bootstrap_frontier(pages.select("url"))
+    eng.run(resume=True)
+    assert eng.wh.num_buckets("host_state") > 0
+
+    # fresh engine over the same warehouse: cache is None; enqueue first
+    cfg2 = _cfg(
+        host_state_lsm_min_hosts=0, per_host_budget=5, max_waves=6,
+        seeds=["http://host0.test/p/0"],
+    )
+    eng2 = CrawlEngine(spark, cfg2, str(tmp_path / "wh"), pages, assets, robots)
+    feed = spark.createDataFrame(
+        [(f"http://newhost{i}.test/p/{i}",) for i in range(40)], "url string"
+    )
+    assert eng2.enqueue_urls(feed) > 0
+    eng2.run(resume=True)  # merges changed-row minima into the cache
+
+    def exact_mins():
+        saved = eng2._mins_cache
+        eng2._mins_cache = None
+        try:
+            return dict(eng2._cursor_mins(eng2.read_host_state()))
+        finally:
+            eng2._mins_cache = saved
+
+    cache = dict(eng2._mins_cache or {})
+    exact = exact_mins()
+    assert cache, "cache should be populated after enqueue + waves"
+    for b, m in cache.items():
+        assert b in exact and m <= exact[b], (
+            f"bucket {b}: cached min {m} above true min {exact.get(b)} — "
+            f"range pruning would drop live frontier rows"
+        )
+
+    # no-loss property: the pruned read keeps every live row
+    hs = eng2.read_host_state()
+    full = eng2.wh.read_ranged("frontier")
+    live = (
+        full.join(hs.select("host", "cursor"), on="host", how="left")
+        .filter(F.col("priority") > F.coalesce(F.col("cursor"), F.lit(-1)))
+        .count()
+    )
+    pruned = eng2.read_frontier(hs)
+    live_pruned = (
+        pruned.join(hs.select("host", "cursor"), on="host", how="left")
+        .filter(F.col("priority") > F.coalesce(F.col("cursor"), F.lit(-1)))
+        .count()
+    )
+    assert live_pruned == live, (
+        f"pruned frontier lost {live - live_pruned} live rows"
+    )

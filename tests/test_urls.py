@@ -123,3 +123,50 @@ def test_with_url_columns_hash_stable(spark):
     assert out[0]["canonical_url"] == out[1]["canonical_url"] == "http://a.com/x"
     assert out[0]["url_hash"] == out[1]["url_hash"]
     assert out[0]["host"] == "a.com"
+
+
+def test_two_step_canonicalization_matches_one_step(spark):
+    """with_canonical_url_2step (the multi-projection evaluation form the
+    crawl's admit path uses) must be BIT-IDENTICAL to canonical_url_col on
+    every fixture URL plus generated tricky cases, for both sort_query
+    settings — same formulas, different materialization only."""
+    from helix_spark.functions.urls import with_canonical_url_2step
+
+    urls = [c[0] for c in CANON_CASES if c[0].strip()]
+    urls += [
+        "http://Host.COM:80/a/b/../c/./d?z=9&a=1&m=3#frag",
+        "https://x.y.z:8443/only",
+        "http://a.com/a/b/c/../../x",
+        "http://[::1]:80/v6",
+        "http://[2001:db8::1]:8080/v6?b=2&a=1",
+        "http://user:pw@a.com:80/p?x=1",
+        "http://u@v@w.com/amb",
+        "ftp://f.com:21/file",
+        "mailto:someone@example.com",
+        "HTTP://UPPER.com",
+        "http://a.com",
+        "http://a.com?q=1",
+        "http://a.com/p/../..",
+        "http://a.com//double//slash",
+        "   http://pad.com/x  ",
+        "notaurl",
+        "http:///nohost",
+        "wss://sock.example:443/chat?b&a",
+    ]
+    for sq in (True, False):
+        df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        one = df.select(
+            "url", canonical_url_col(F.col("url"), sort_query=sq).alias("c1")
+        )
+        two = with_canonical_url_2step(
+            df, F.col("url"), out="c2", sort_query=sq
+        ).select("url", "c2")
+        got = {
+            r["url"]: (r["c1"], r2["c2"])
+            for r, r2 in zip(
+                sorted(one.collect(), key=lambda r: r["url"]),
+                sorted(two.collect(), key=lambda r: r["url"]),
+            )
+        }
+        for u, (c1, c2) in got.items():
+            assert c1 == c2, f"sort_query={sq} {u!r}: one-step={c1!r} two-step={c2!r}"
