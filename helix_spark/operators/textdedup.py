@@ -383,7 +383,18 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     cross-engine hash — DuckDB has no xxhash64), so only 60 source bits
     exist; asking for more would silently produce constant high bits. Bits
     are OR-assembled (shiftleft + bitwiseOR, no additive 2^i literals), so
-    any width up to 60 is overflow-safe."""
+    any width up to 60 is overflow-safe.
+
+    AGGREGATE formulation (the minhash_signature shape, round-6): explode
+    the token ints and take per-bit sums in a codegen'd hash aggregate with
+    map-side partial combine. The previous form ran ``bits`` interpreted
+    array-filter passes per row (~2·bits lambda evaluations per token —
+    HOFs are CodegenFallback); the per-bit vote counts are plain aggregate
+    arithmetic and belong in codegen. Token-less docs survive as a single
+    NULL row (explode_outer) → n = count(__x) = 0 → all votes lose →
+    simhash 0, exactly the old size-0 result. ``id_col`` must be unique per
+    document (same contract as minhash_signature — duplicate ids would
+    collapse into one signature row)."""
     from helix_spark.functions.text import tokens_col
 
     if not 1 <= bits <= 60:
@@ -393,25 +404,22 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
     toks = tokens_col(F.col(text_col))
     ints = F.transform(toks, lambda t: md5_int60_col(t))
-    # two-step projection (same CollapseProject landmine the LSH explode
-    # guards against): the md5 token-int array is referenced 2×bits times
-    # and CollapseProject will not re-inline a non-cheap expression —
-    # materialize it ONCE per row
-    with_ints = _fan_out(docs, width_hint).select(F.col(id_col), ints.alias("__ints"))
-    arr = F.col("__ints")
-    n = F.size(arr)
-
-    def _one_bit(i):
-        return lambda x: (F.shiftright(x, i) % 2) == 1
-
+    ex = _fan_out(docs, width_hint).select(
+        F.col(id_col), F.explode_outer(ints).alias("__x")
+    )
+    x = F.col("__x")
+    aggs = [F.count(x).alias("__n")]
+    for i in range(bits):
+        aggs.append(F.sum(F.shiftright(x, i) % 2).alias(f"__o{i}"))
+    g = ex.groupBy(id_col).agg(*aggs)
     val = F.lit(0).cast("long")
     for i in range(bits):
-        ones = F.size(F.filter(arr, _one_bit(i)))
         bit = F.when(
-            ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)
+            F.col(f"__o{i}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         val = val.bitwiseOR(bit)
-    return with_ints.select(F.col(id_col), val.alias("simhash"))
+    return g.select(F.col(id_col), val.alias("simhash"))
 
 
 _CC_DIGEST_MOD = 2147483647  # mod-sums keep the digest ANSI-overflow-safe
@@ -444,7 +452,7 @@ def connected_components(
     pairs: DataFrame, nodes: DataFrame,
     id_a: str = "id_a", id_b: str = "id_b", node_col: str = "doc_id",
     max_iters: int = 30,
-    ckpt_every: int = 2,
+    ckpt_every: int = 1,
     _rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the union-find
@@ -470,14 +478,16 @@ def connected_components(
     each component's minimum id, read off directly as the labels. Fixpoint
     detection: the edge-set digest (count + mod-sums) stops changing.
     ``ckpt_every`` rounds are chained LAZILY into one materialization
-    (checkpoint + digest) — per-materialization job overhead (scheduling,
-    block writes) was the dominant cost of the whole CC pass on small edge
-    sets (round-6 measurement), and the star rounds are idempotent at the
-    fixpoint so running up to ``ckpt_every − 1`` extra rounds past it is
-    harmless (the algorithm provably converges monotonically — no cycles —
-    so a stable composite digest IS the fixpoint). Plan depth stays
-    bounded at ~5·ckpt_every exchanges per job (lineage landmine still
-    truncated each materialization); the previous blocks are freed.
+    (checkpoint + digest); the star rounds are idempotent at the fixpoint
+    so up to ``ckpt_every − 1`` extra rounds past it are harmless (the
+    algorithm converges monotonically — no cycles — so a stable composite
+    digest IS the fixpoint). DEFAULT 1: the round-6 A/B at sf0.1 measured
+    cadence 2 at 4.7-5.4 s vs cadence 1 at 2.1-2.9 s and cadence 3 at
+    39.5 s — real near-dup graphs fixpoint in ~2 rounds, so chaining only
+    adds rounds (detection needs 2 materializations ⇒ ≥ 2·ckpt_every
+    rounds) and the deeper per-job plans cost far more than the saved
+    job overhead. The knob stays for long-diameter graphs where rounds ≫
+    and per-round overhead genuinely dominates.
 
     RAISES RuntimeError if max_iters rounds pass without convergence
     (30 rounds covers any real graph at O(log n); silently returning
