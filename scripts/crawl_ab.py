@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -30,6 +29,9 @@ CFG_OVERRIDES = {
     "f25k": {"fanout_rows_per_partition": 25_000},
     "f4k": {"fanout_rows_per_partition": 4_000},
     "f2k": {"fanout_rows_per_partition": 2_000},
+    # bench waves are ~44.7k rows — just under the 50k early-commit engage
+    # point; this variant asks whether the overlap pays there too
+    "early30k": {"early_commit_min_batch": 30_000},
 }
 
 
@@ -74,28 +76,21 @@ def run_variant(variant: str) -> float:
 
 
 def main():
+    # thin wrapper over scripts/ab_harness.py (alternating fresh-JVM legs,
+    # steal% on every sample): `python scripts/crawl_ab.py all [n]` or any
+    # comma-list of variants, e.g. `python scripts/crawl_ab.py f25k,f4k 2`
+    from ab_harness import alternate
+
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    if which != "all":
+    if which != "all" and "," not in which:
         run_variant(which)
         return
-    results: dict[str, list[float]] = {}
-    for variant in VARIANTS:
-        for _ in range(n):
-            out = subprocess.run(
-                [sys.executable, __file__, variant],
-                capture_output=True, text=True, timeout=600,
-            )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-            if not line:
-                print(f"{variant}: FAILED\n{out.stderr[-2000:]}")
-                continue
-            rec = json.loads(line[-1])
-            results.setdefault(variant, []).append(rec["sec"])
-            print(rec, flush=True)
-    print("\nbest-of-%d:" % n)
-    for v, samples in results.items():
-        print(f"  {v}: best={min(samples):.1f}s samples={samples}")
+    names = VARIANTS if which == "all" else which.split(",")
+    alternate(
+        {v: [sys.executable, __file__, v] for v in names},
+        rounds=n, timeout=900, key="sec",
+    )
 
 
 if __name__ == "__main__":

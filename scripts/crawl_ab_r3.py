@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 R3 = "/tmp/r3wt"
@@ -38,31 +37,31 @@ def leg(repo: str) -> None:
     for _ in range(2):
         sec, _ups, fetched = bench.bench_crawl(spark)
         samples.append(round(sec, 3))
-    print(json.dumps({"repo": repo, "samples": samples, "fetched": fetched}))
+    print(json.dumps({"repo": repo, "samples": samples,
+                      "best": min(samples), "fetched": fetched}))
 
 
 def main() -> None:
     if sys.argv[1] == "leg":
         leg(sys.argv[2])
         return
+    # thin wrapper over scripts/ab_harness.py; each leg prints TWO crawl
+    # samples — summarize on the leg's best sample
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ab_harness import alternate
+
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    results: dict[str, list[float]] = {R3: [], HEAD: []}
-    for _ in range(rounds):
-        for repo in (R3, HEAD):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "leg", repo],
-                capture_output=True, text=True, timeout=900, cwd=repo,
-            )
-            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-            if not lines:
-                print(f"{repo}: FAILED\n{out.stderr[-1500:]}")
-                continue
-            rec = json.loads(lines[-1])
-            results[repo].extend(rec["samples"])
-            print(rec, flush=True)
-    for repo, s in results.items():
-        if s:
-            print(f"{repo}: best={min(s):.1f}s median={sorted(s)[len(s)//2]:.1f}s samples={s}")
+    me = os.path.abspath(__file__)
+    results = alternate(
+        {"r3": [sys.executable, me, "leg", R3],
+         "head": [sys.executable, me, "leg", HEAD]},
+        rounds=rounds, timeout=900, key="best",
+    )
+    for name, recs in results.items():
+        flat = [x for r in recs for x in r.get("samples", [])]
+        if flat:
+            print(f"{name}: best={min(flat):.1f}s "
+                  f"median={sorted(flat)[len(flat)//2]:.1f}s samples={flat}")
 
 
 if __name__ == "__main__":

@@ -23,6 +23,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from helix_spark.session import get_spark  # noqa: E402
 
+sys.path.insert(0, "/root/repo/scripts")
+from ab_harness import steal_window  # noqa: E402
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
@@ -46,14 +49,16 @@ def main() -> None:
         n = corpus.count()
         for r in range(ROUNDS):
             for shared in (True, False):
-                t0 = time.time()
-                got = near_dup_pairs(
-                    corpus, k=8, bands=4, threshold=0.2,
-                    max_bucket_size=NEAR_DUP_CAP, share_explode=shared,
-                ).count()
+                with steal_window() as w:
+                    t0 = time.time()
+                    got = near_dup_pairs(
+                        corpus, k=8, bands=4, threshold=0.2,
+                        max_bucket_size=NEAR_DUP_CAP, share_explode=shared,
+                    ).count()
+                    dt = time.time() - t0
                 print(
                     f"{cname} n={n} round={r} share_explode={shared}: "
-                    f"{time.time() - t0:.2f}s pairs={got}",
+                    f"{dt:.2f}s pairs={got} steal={w.steal_pct}%",
                     flush=True,
                 )
     spark.stop()

@@ -37,10 +37,12 @@ CHECKS = {
     "embedding_near_dup": ([], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     "lsh_ann_topk": ([r"TakeOrderedAndProject|WindowGroupLimit"], [r"CartesianProduct"]),
     "ivf_ann_topk": ([r"TakeOrderedAndProject|WindowGroupLimit"], [r"CartesianProduct"]),
-    # collapse rule ON: the (band, slice) self-join runs over the
-    # group-by-signature rep relation, never a raw cartesian
+    # collapse rule ON: the self-join consumes the CHECKPOINTED collapse
+    # aggregate (round 6: the groupBy(simhash) runs eagerly at build time,
+    # so it is no longer in the final plan — custom check 3 captures it at
+    # checkpoint time); the final plan must still never cross-join
     "simhash_near_dup": (
-        [r"HashAggregate\(keys=\[simhash"],
+        [r"bit_count"],
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
 }
@@ -104,16 +106,34 @@ def custom_checks(spark) -> int:
         F.concat(F.lit("sample document text number "), F.col("id").cast("string"),
                  F.lit(" with shared boilerplate words")).alias("text"),
     )
-    nd_plan = (
-        simhash_near_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
-    )
+    # the collapse aggregate is localCheckpointed (eager) since round 6, so
+    # capture plans AT CHECKPOINT TIME via a spy — the aggregate must appear
+    # in a checkpointed subplan and the final plan must never cross-join
+    # patch the CLASSIC class: pyspark.sql.DataFrame is the facade base in
+    # Spark 4 and instance lookup resolves the subclass's own method
+    from pyspark.sql.classic.dataframe import DataFrame as _SpyDF
+
+    ck_plans: list[str] = []
+    _orig_ck = _SpyDF.localCheckpoint
+
+    def _spy_ck(self, *a, **kw):  # noqa: ANN001
+        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return _orig_ck(self, *a, **kw)
+
+    _SpyDF.localCheckpoint = _spy_ck
+    try:
+        nd_plan = (
+            simhash_near_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        _SpyDF.localCheckpoint = _orig_ck
     if (
-        re.search(r"HashAggregate\(keys=\[simhash", nd_plan)
+        any(re.search(r"HashAggregate\(keys=\[simhash", p) for p in ck_plans)
         and "CartesianProduct" not in nd_plan
     ):
-        print("PASS simhash_collapse_default: group-by-signature feeds the band self-join")
+        print("PASS simhash_collapse_default: group-by-signature (checkpointed) feeds the band self-join")
     else:
-        print("FAIL simhash_collapse_default: default plan lacks the collapse aggregate")
+        print("FAIL simhash_collapse_default: no collapse aggregate at any checkpoint")
         failures += 1
 
     # 4) wave-plan cache evidence: the static-planner design (AQE off in the
@@ -235,12 +255,15 @@ def custom_checks(spark) -> int:
     ][1:]
     if (
         (v_ex, v_sort, r_ex, r_sort, a_ex, a_sort) == (0, 0, 0, 0, 0, 0)
-        and sel_url_hash_ex and all(n == 1 for n in sel_url_hash_ex)
+        # ≤1: the batch side pays at most one url_hash exchange; a second
+        # would be the store side re-shuffling. The tiny probe crawl may
+        # broadcast-join the store (LogicalRDD keeps origin stats) → 0.
+        and sel_url_hash_ex and all(n <= 1 for n in sel_url_hash_ex)
     ):
         print(
             "PASS store_side_no_shuffle: verify/render/asset joins keep "
             "Exchange-and-Sort-free store sides; steady select plans carry "
-            "one url_hash exchange (batch side)"
+            "at most one url_hash exchange (batch side)"
         )
     else:
         print(

@@ -34,16 +34,12 @@ H = 256
 
 
 def _steal_jiffies() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat — this sandbox is a VM whose
-    host periodically steals 2-3× of its CPU (load-average spikes with zero
-    resident processes); legs that ran through a storm are not measurements
-    of this code. Each leg reports its steal share so sample selection is a
-    RULE (reject steal% > 5), not judgment."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    """Shared sampler — see scripts/ab_harness.py (factored round 6)."""
+    import os as _os
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from ab_harness import steal_jiffies
+
+    return steal_jiffies()
 
 
 def run_config(cpus: int) -> dict:
