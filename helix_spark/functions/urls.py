@@ -273,6 +273,110 @@ def canonical_url_col(url: Column, sort_query: bool = True) -> Column:
     return F.when(is_hier & (host != ""), canon).otherwise(F.lit(None))
 
 
+# (gateway id, sort_query) → (ordered intermediate steps, final expr). The
+# cached Columns reference only the fixed ``__cu_*`` intermediate names, so
+# the trees are reusable across DataFrames — building them costs ~250 ms of
+# py4j round trips, and the crawl's admit path pays it EVERY wave without
+# this cache. Keyed on the py4j gateway so a recycled JVM rebuilds.
+_2STEP_PROGRAM_CACHE: dict = {}
+
+
+def _two_step_program(sort_query: bool):
+    """Ordered (name, Column) projection steps + the final canonical expr of
+    the multi-projection canonicalization — built once per JVM."""
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._gateway), bool(sort_query))
+    hit = _2STEP_PROGRAM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    P = "__cu_"
+    steps: list[tuple[str, Column]] = []
+    cu = F.col(P + "u")
+    steps.append((P + "scheme", F.lower(F.regexp_extract(cu, _SCHEME_RE, 1))))
+    steps.append((P + "hier", cu.rlike(_ABS_RE)))
+    steps.append((P + "body", F.regexp_replace(cu, _ABS_RE, "")))
+    body = F.col(P + "body")
+    steps.append((P + "ap", F.substring_index(body, "?", 1)))
+    steps.append((
+        P + "q",
+        F.when(body.contains("?"), F.regexp_replace(body, r"^[^?]*\?", ""))
+        .otherwise(F.lit(None)),
+    ))
+    ap = F.col(P + "ap")
+    steps.append((P + "auth", F.substring_index(ap, "/", 1)))
+    auth = F.col(P + "auth")
+    steps.append((
+        P + "path", F.substring(ap, F.length(auth) + 1, F.lit(2**31 - 1))
+    ))
+    has_user = auth.contains("@")
+    steps.append((
+        P + "user",
+        F.when(
+            has_user,
+            F.concat(F.regexp_replace(auth, r"@[^@]*$", ""), F.lit("@")),
+        ).otherwise(F.lit("")),
+    ))
+    steps.append((
+        P + "hp",
+        F.when(has_user, F.regexp_extract(auth, r"@([^@]*)$", 1)).otherwise(auth),
+    ))
+    hp = F.col(P + "hp")
+    is_v6 = hp.startswith("[")
+    steps.append((
+        P + "host",
+        F.when(is_v6, F.lower(F.regexp_extract(hp, r"^(\[[^\]]*\])", 1)))
+        .otherwise(F.lower(F.substring_index(hp, ":", 1))),
+    ))
+    steps.append((
+        P + "port",
+        F.when(is_v6, F.regexp_extract(hp, r"\]:(\d+)$", 1)).otherwise(
+            F.when(hp.contains(":"), F.substring_index(hp, ":", -1)).otherwise(
+                F.lit("")
+            )
+        ),
+    ))
+    scheme = F.col(P + "scheme")
+    port = F.col(P + "port")
+    default_port = (
+        F.when(scheme == "http", F.lit("80"))
+        .when(scheme == "https", F.lit("443"))
+        .when(scheme == "ftp", F.lit("21"))
+        .when(scheme == "ws", F.lit("80"))
+        .when(scheme == "wss", F.lit("443"))
+        .otherwise(F.lit(""))
+    )
+    path = F.col(P + "path")
+    steps.append((
+        P + "pp",
+        F.when((port == "") | (port == default_port), F.lit("")).otherwise(
+            F.concat(F.lit(":"), port)
+        ),
+    ))
+    steps.append((
+        P + "np",
+        _remove_dot_segments_col(F.when(path == "", F.lit("/")).otherwise(path)),
+    ))
+    np_ = F.col(P + "np")
+    steps.append((
+        P + "np2",
+        F.when(np_.startswith("/"), np_).otherwise(F.concat(F.lit("/"), np_)),
+    ))
+    q = F.col(P + "q")
+    sorted_query = F.array_join(F.array_sort(F.split(q, "&")), "&") if sort_query else q
+    query_part = F.when(q.isNull() | (q == ""), F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_query)
+    )
+    host = F.col(P + "host")
+    canon = F.concat(
+        scheme, F.lit("://"), F.col(P + "user"), host, F.col(P + "pp"),
+        F.col(P + "np2"), query_part,
+    )
+    final = F.when(F.col(P + "hier") & (host != ""), canon).otherwise(F.lit(None))
+    _2STEP_PROGRAM_CACHE[key] = (steps, final)
+    return steps, final
+
+
 def with_canonical_url_2step(df, src: Column, out: str = "canonical_url",
                              sort_query: bool = True):
     """Multi-projection twin of ``withColumn(out, canonical_url_col(src))``
@@ -290,102 +394,16 @@ def with_canonical_url_2step(df, src: Column, out: str = "canonical_url",
     ``shingles_from_tokens_col`` — using the IDENTICAL formulas, so values
     match the one-step form exactly (pinned by tests/test_urls.py).
     CollapseProject keeps the steps apart (non-cheap, multiply
-    referenced). Intermediates use the ``__cu_`` prefix and are dropped."""
+    referenced). Intermediates use the ``__cu_`` prefix and are dropped.
+    The step trees are module-cached (_two_step_program): only the
+    ``src``-dependent first projection and the per-call withColumn chain
+    are built per invocation, cutting the per-wave py4j build cost."""
     P = "__cu_"
-    u = F.regexp_replace(F.trim(src), r"#.*", "")
-    df = df.withColumn(P + "u", u)
-    cu = F.col(P + "u")
-    df = (
-        df.withColumn(P + "scheme", F.lower(F.regexp_extract(cu, _SCHEME_RE, 1)))
-        .withColumn(P + "hier", cu.rlike(_ABS_RE))
-        .withColumn(P + "body", F.regexp_replace(cu, _ABS_RE, ""))
-    )
-    body = F.col(P + "body")
-    df = (
-        df.withColumn(P + "ap", F.substring_index(body, "?", 1))
-        .withColumn(
-            P + "q",
-            F.when(body.contains("?"), F.regexp_replace(body, r"^[^?]*\?", ""))
-            .otherwise(F.lit(None)),
-        )
-    )
-    ap = F.col(P + "ap")
-    df = df.withColumn(P + "auth", F.substring_index(ap, "/", 1))
-    auth = F.col(P + "auth")
-    df = df.withColumn(
-        P + "path", F.substring(ap, F.length(auth) + 1, F.lit(2**31 - 1))
-    )
-    has_user = auth.contains("@")
-    df = (
-        df.withColumn(
-            P + "user",
-            F.when(
-                has_user,
-                F.concat(F.regexp_replace(auth, r"@[^@]*$", ""), F.lit("@")),
-            ).otherwise(F.lit("")),
-        )
-        .withColumn(
-            P + "hp",
-            F.when(has_user, F.regexp_extract(auth, r"@([^@]*)$", 1)).otherwise(auth),
-        )
-    )
-    hp = F.col(P + "hp")
-    is_v6 = hp.startswith("[")
-    df = (
-        df.withColumn(
-            P + "host",
-            F.when(is_v6, F.lower(F.regexp_extract(hp, r"^(\[[^\]]*\])", 1)))
-            .otherwise(F.lower(F.substring_index(hp, ":", 1))),
-        )
-        .withColumn(
-            P + "port",
-            F.when(is_v6, F.regexp_extract(hp, r"\]:(\d+)$", 1)).otherwise(
-                F.when(hp.contains(":"), F.substring_index(hp, ":", -1)).otherwise(
-                    F.lit("")
-                )
-            ),
-        )
-    )
-    scheme = F.col(P + "scheme")
-    port = F.col(P + "port")
-    default_port = (
-        F.when(scheme == "http", F.lit("80"))
-        .when(scheme == "https", F.lit("443"))
-        .when(scheme == "ftp", F.lit("21"))
-        .when(scheme == "ws", F.lit("80"))
-        .when(scheme == "wss", F.lit("443"))
-        .otherwise(F.lit(""))
-    )
-    path = F.col(P + "path")
-    df = (
-        df.withColumn(
-            P + "pp",
-            F.when((port == "") | (port == default_port), F.lit("")).otherwise(
-                F.concat(F.lit(":"), port)
-            ),
-        )
-        .withColumn(
-            P + "np",
-            _remove_dot_segments_col(F.when(path == "", F.lit("/")).otherwise(path)),
-        )
-    )
-    np_ = F.col(P + "np")
-    df = df.withColumn(
-        P + "np2", F.when(np_.startswith("/"), np_).otherwise(F.concat(F.lit("/"), np_))
-    )
-    q = F.col(P + "q")
-    sorted_query = F.array_join(F.array_sort(F.split(q, "&")), "&") if sort_query else q
-    query_part = F.when(q.isNull() | (q == ""), F.lit("")).otherwise(
-        F.concat(F.lit("?"), sorted_query)
-    )
-    host = F.col(P + "host")
-    canon = F.concat(
-        scheme, F.lit("://"), F.col(P + "user"), host, F.col(P + "pp"),
-        F.col(P + "np2"), query_part,
-    )
-    df = df.withColumn(
-        out, F.when(F.col(P + "hier") & (host != ""), canon).otherwise(F.lit(None))
-    )
+    steps, final = _two_step_program(sort_query)
+    df = df.withColumn(P + "u", F.regexp_replace(F.trim(src), r"#.*", ""))
+    for name, expr in steps:
+        df = df.withColumn(name, expr)
+    df = df.withColumn(out, final)
     return df.drop(*[c for c in df.columns if c.startswith(P)])
 
 

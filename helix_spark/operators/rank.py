@@ -145,7 +145,17 @@ def bucketed_global_rank(
     # storage_level None → JVM default (deserialized rows); callers on a
     # bandwidth-bound box pass a serialized level (config.py
     # wave_checkpoint_storage) so the cached blocks cost bytes, not bus
+    _t_ck = None
+    if os.environ.get("HELIX_SPARK_VERBOSE"):
+        import time as _time
+
+        _t_ck = _time.time()
     ck = pre.localCheckpoint(True, storage_level)
+    if _t_ck is not None:
+        import time as _time
+
+        print(f"[helix-spark]     rank ckpt-job {_time.time() - _t_ck:.1f}s",
+              flush=True)
     got = observed_metrics(obs) if metrics else {}
     # per-bucket EXACT counts via one tiny agg over the CACHED checkpoint
     # blocks — NOT count_if Observation columns: CollectMetrics evaluates
@@ -155,8 +165,18 @@ def bucketed_global_rank(
     # the hash agg over materialized rows is ~10× cheaper and flat in the
     # bucket count
     counts = {i: 0 for i in range(n_buckets)}
+    _t_cn = None
+    if os.environ.get("HELIX_SPARK_VERBOSE"):
+        import time as _time
+
+        _t_cn = _time.time()
     for r in ck.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect():
         counts[int(r["__pid"])] = int(r["__n"])
+    if _t_cn is not None:
+        import time as _time
+
+        print(f"[helix-spark]     rank counts-job {_time.time() - _t_cn:.1f}s",
+              flush=True)
     off_expr = None
     acc = offset
     for i in range(n_buckets):

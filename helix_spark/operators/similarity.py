@@ -24,6 +24,7 @@ import math
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from helix_spark.functions.colcache import cached_col
 from helix_spark.functions.vectors import cosine_col
 
 
@@ -58,11 +59,14 @@ def brute_force_topk(
     """Exact top-k by cosine similarity; deterministic tiebreak on id.
     Elements are cast to double BEFORE any arithmetic so results are
     bit-reproducible against a double-precision SQL oracle."""
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scored = embeddings.select(
-        F.col(id_col),
-        cosine_col(dvec, _lit_array(query_vec)).alias("cos"),
+    cos = cached_col(
+        ("brute_cos", vec_col, tuple(float(x) for x in query_vec)),
+        lambda: cosine_col(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            _lit_array(query_vec),
+        ),
     )
+    scored = embeddings.select(F.col(id_col), cos.alias("cos"))
     w = Window.orderBy(F.col("cos").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -163,14 +167,26 @@ def embedding_near_dup_pairs(
         n_planes = auto_n_planes(embeddings.count())
     qplanes = quantized_planes(_dim_of(embeddings, vec_col), n_planes, quant)
     q = quantize_vec_col(F.col(vec_col), quant)
-    bucket = None
-    for i, row in enumerate(qplanes):
-        d = _long_dot(F.col("__q"), _lit_long_array(row))
-        term = F.when(d >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
-        bucket = term if bucket is None else bucket + term
-    norm2 = F.aggregate(
-        F.transform(F.col("__q"), lambda x: x * x),
-        F.lit(0).cast("long"), lambda acc, v: acc + v,
+
+    def _build_bucket():
+        bucket = None
+        for i, row in enumerate(qplanes):
+            d = _long_dot(F.col("__q"), _lit_long_array(row))
+            term = F.when(d >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+            bucket = term if bucket is None else bucket + term
+        return bucket
+
+    # pure trees over the fixed __q name — cached per plane set (the
+    # dominant build cost of this operator, ~0.5 s of py4j at dim 64)
+    bucket = cached_col(
+        ("sign_bucket_q", tuple(tuple(r) for r in qplanes)), _build_bucket
+    )
+    norm2 = cached_col(
+        ("norm2_q",),
+        lambda: F.aggregate(
+            F.transform(F.col("__q"), lambda x: x * x),
+            F.lit(0).cast("long"), lambda acc, v: acc + v,
+        ),
     )
     obs = Observation()
     base = embeddings.select(
@@ -284,44 +300,51 @@ def quantized_topk(
             f"quantized_topk: query norm² {qn2} exceeds the int64-safe "
             f"bound {_MAX_SAFE_ANN_NORM2} — lower `quant` (now {quant})"
         )
-    vq = quantize_vec_col(F.col(vec_col), quant)
-    n2 = F.aggregate(
-        F.transform(F.col("__vq"), lambda x: x * x),
-        F.lit(0).cast("long"), lambda a, x: a + x,
+
+    def _build_score_cols():
+        vq = quantize_vec_col(F.col(vec_col), quant)
+        n2 = F.aggregate(
+            F.transform(F.col("__vq"), lambda x: x * x),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+        dot = _long_dot(F.col("__vq"), _lit_long_array(qq))
+        guarded_n2 = F.when(
+            F.col("__n2") > _MAX_SAFE_ANN_NORM2,
+            F.raise_error(F.lit(
+                "quantized_topk: corpus vector norm² exceeds the int64-safe "
+                "bound — lower `quant` or normalize the embeddings"
+            )).cast("long"),
+        ).otherwise(F.col("__n2"))
+        # decimal(38,0) square + `div` (integral division, returns long —
+        # verified to match DuckDB's HUGEINT // bit-for-bit); a double
+        # divide would round above 2^53 and break cross-engine identity
+        mag = F.expr(
+            "cast(__dot as decimal(38,0)) * __dot * 10000 div greatest(__n2, 1)"
+        )
+        key = (
+            F.when(F.col("__n2") == 0, F.lit(0).cast("long"))
+            .when(F.col("__dot") >= 0, mag)
+            .otherwise(-mag)
+        )
+        cos_e4 = F.when(F.col("__n2") == 0, F.lit(0)).otherwise(
+            F.floor(
+                F.lit(10000.0) * F.col("__dot")
+                / F.sqrt(F.col("__n2").cast("double") * F.lit(float(qn2)))
+            )
+        ).cast("long")
+        return vq, n2, dot, guarded_n2, key, cos_e4
+
+    # pure trees over the fixed __vq/__n2/__dot names + (qq, quant)
+    # literals — the dim-element query array and the lambda forests are the
+    # build cost; cached per (vec_col, quant, query vector)
+    vq, n2, dot, guarded_n2, key, cos_e4 = cached_col(
+        ("qtopk_score", vec_col, quant, tuple(qq)), _build_score_cols
     )
     scored = (
         embeddings.select(F.col(id_col), vq.alias("__vq"))
-        .select(
-            F.col(id_col),
-            _long_dot(F.col("__vq"), _lit_long_array(qq)).alias("__dot"),
-            n2.alias("__n2"),
-        )
+        .select(F.col(id_col), dot.alias("__dot"), n2.alias("__n2"))
     )
-    guarded_n2 = F.when(
-        F.col("__n2") > _MAX_SAFE_ANN_NORM2,
-        F.raise_error(F.lit(
-            "quantized_topk: corpus vector norm² exceeds the int64-safe "
-            "bound — lower `quant` or normalize the embeddings"
-        )).cast("long"),
-    ).otherwise(F.col("__n2"))
     scored = scored.withColumn("__n2", guarded_n2)
-    # decimal(38,0) square + `div` (integral division, returns long —
-    # verified to match DuckDB's HUGEINT // bit-for-bit); a double divide
-    # would round above 2^53 and break cross-engine integer identity
-    mag = F.expr(
-        "cast(__dot as decimal(38,0)) * __dot * 10000 div greatest(__n2, 1)"
-    )
-    key = (
-        F.when(F.col("__n2") == 0, F.lit(0).cast("long"))
-        .when(F.col("__dot") >= 0, mag)
-        .otherwise(-mag)
-    )
-    cos_e4 = F.when(F.col("__n2") == 0, F.lit(0)).otherwise(
-        F.floor(
-            F.lit(10000.0) * F.col("__dot")
-            / F.sqrt(F.col("__n2").cast("double") * F.lit(float(qn2)))
-        )
-    ).cast("long")
     w = Window.orderBy(F.col("__key").desc(), F.col(id_col))
     return (
         scored.withColumn("__key", key)
@@ -519,12 +542,23 @@ def lsh_ann_topk(
     the corpus written bucket-partitioned the probe reads only those
     partitions."""
     qplanes = quantized_planes(len(query_vec), n_planes, quant)
-    vq = quantize_vec_col(F.col(vec_col), quant)
-    bucket = None
-    for i, row in enumerate(qplanes):
-        d = _long_dot(vq, _lit_long_array(row))
-        term = F.when(d >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
-        bucket = term if bucket is None else bucket + term
+
+    def _build_bucket():
+        vq = quantize_vec_col(F.col(vec_col), quant)
+        bucket = None
+        for i, row in enumerate(qplanes):
+            d = _long_dot(vq, _lit_long_array(row))
+            term = F.when(d >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+            bucket = term if bucket is None else bucket + term
+        return bucket
+
+    # the bucket forest is n_planes × (dim-literal array + lambda dot) of
+    # pure py4j tree building (~0.5 s at dim 64 — more than the query's
+    # whole execution); cache it per (vec_col, quant, planes)
+    bucket = cached_col(
+        ("lsh_bucket", vec_col, quant, tuple(tuple(r) for r in qplanes)),
+        _build_bucket,
+    )
     bucketed = embeddings.withColumn("bucket", bucket)
     probes = lsh_probe_buckets_py(query_vec, qplanes, multiprobe, quant)
     cand = bucketed.filter(F.col("bucket").isin(*probes))

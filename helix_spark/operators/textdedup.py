@@ -402,23 +402,32 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             f"bits={bits} out of range [1, 60]: md5-int60 token hashes "
             f"provide only 60 independent bits"
         )
-    toks = tokens_col(F.col(text_col))
-    ints = F.transform(toks, lambda t: md5_int60_col(t))
+    def _build_cols():
+        toks = tokens_col(F.col(text_col))
+        ints = F.transform(toks, lambda t: md5_int60_col(t))
+        x = F.col("__x")
+        aggs = [F.count(x).alias("__n")]
+        for i in range(bits):
+            aggs.append(F.sum(F.shiftright(x, i) % 2).alias(f"__o{i}"))
+        val = F.lit(0).cast("long")
+        for i in range(bits):
+            bit = F.when(
+                F.col(f"__o{i}") * 2 > F.col("__n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            val = val.bitwiseOR(bit)
+        return ints, tuple(aggs), val
+
+    # ~2·bits pure expression trees over fixed names — cached per
+    # (text_col, bits): the per-call py4j build cost was a visible slice of
+    # the timed query at bench scale
+    from helix_spark.functions.colcache import cached_col
+
+    ints, aggs, val = cached_col(("simhash64", text_col, bits), _build_cols)
     ex = _fan_out(docs, width_hint).select(
         F.col(id_col), F.explode_outer(ints).alias("__x")
     )
-    x = F.col("__x")
-    aggs = [F.count(x).alias("__n")]
-    for i in range(bits):
-        aggs.append(F.sum(F.shiftright(x, i) % 2).alias(f"__o{i}"))
     g = ex.groupBy(id_col).agg(*aggs)
-    val = F.lit(0).cast("long")
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"__o{i}") * 2 > F.col("__n"),
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        val = val.bitwiseOR(bit)
     return g.select(F.col(id_col), val.alias("simhash"))
 
 

@@ -246,11 +246,24 @@ class CrawlEngine:
                 "spark.sql.files.minPartitionNum",
                 str(self.spark.sparkContext.defaultParallelism),
             )
+        # Catalyst constraint propagation off for the wave loop: inferring
+        # constraints over the admit tree (a regex-heavy canonicalization
+        # forest re-analyzed EVERY wave) is pure driver time that grows with
+        # plan width, not data — measured via the verbose rank plan-analysis
+        # split: 0.5 s → 0.2 s per wave at the bench config. The crawl's
+        # null-handling is explicit (coalesce/isNull at every gate), so the
+        # optimizer's inferred IsNotNull filters add nothing; results are
+        # unaffected by construction (an optimizer-only toggle). Restored on
+        # exit — the analytics battery keeps the default.
+        prev_cprop = conf.get("spark.sql.constraintPropagation.enabled", "true")
+        if not os.environ.get("HELIX_KEEP_CONSTRAINT_PROP"):  # A/B hook
+            conf.set("spark.sql.constraintPropagation.enabled", "false")
         try:
             yield
         finally:
             conf.set("spark.sql.adaptive.enabled", prev)
             conf.set("spark.sql.shuffle.partitions", prev_parts)
+            conf.set("spark.sql.constraintPropagation.enabled", prev_cprop)
             if prev_minsplit is None:
                 self.spark.conf.unset("spark.sql.files.minPartitionNum")
             else:
@@ -428,6 +441,7 @@ class CrawlEngine:
           anti (the safe giant-batch default).
 
         → (frontier_rows, report_rows, seen_rows, partition_counts, n_frontier)"""
+        _t_en = time.time()
         cfg = self.cfg
         status = F.when(F.col("resolved").isNull(), F.lit(STATUS_MALFORMED_URI)).otherwise(
             self._status_resolved
@@ -502,7 +516,14 @@ class CrawlEngine:
         )
 
         t0 = time.time()
+        if self.verbose:
+            print(f"[helix-spark]     admit enrich-build {t0 - _t_en:.1f}s",
+                  flush=True)
         deduped = first_wins_in_batch(enriched, "key_hash", ["parent_priority", "seq"])
+        if self.verbose:
+            print(f"[helix-spark]     admit dedup-build {time.time() - t0:.1f}s",
+                  flush=True)
+        _t_aj = time.time()
         fresh = anti_join_seen(
             deduped, self.wh, self.bloom, key="key_hash",
             semi_broadcast_max_rows=cfg.semi_broadcast_max_rows,
@@ -511,6 +532,9 @@ class CrawlEngine:
             # row count — free relative-size signal for the join strategy
             seen_rows=self.counter,
         )
+        if self.verbose:
+            print(f"[helix-spark]     admit anti-build {time.time() - _t_aj:.1f}s",
+                  flush=True)
         # ONE job, ONE materialization: the bucketed rank's window runs
         # inside the same job as enrichment/dedup/anti-join, per-bucket
         # counts + the frontier-insert count ride its Observation, and the
@@ -1102,7 +1126,13 @@ class CrawlEngine:
                 }
             # admissions ≈ batch × out-degree: re-size the admit job's fanout
             self._set_shuffle_fanout(batch_count * 4)
+            _t_ca = time.time()
             admissions = self._collect_admissions(renderable, redirected)
+            if self.verbose:
+                print(
+                    f"[helix-spark]     admissions-build {time.time() - _t_ca:.1f}s",
+                    flush=True,
+                )
             # join-strategy estimate = prev wave's observed candidates ×4,
             # CLAMPED from below by this wave's exact batch count × the max
             # out-degree ever observed (×2 headroom): a batch-size spike —
