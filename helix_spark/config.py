@@ -103,6 +103,19 @@ class CrawlConfig:
     # stage chain + driver gaps, not partition count. 25k stands; the knob
     # stays so a cluster deployment can re-derive it from measurements.
     fanout_rows_per_partition: int = 25_000
+    # pipelined wave commit: only the two artifacts the NEXT wave's select
+    # actually depends on — the frontier append and a tiny host-updates
+    # checkpoint (which carries the cursor-minima/fresh-host Observation) —
+    # are waited for on the wave's critical path; the remaining table
+    # writes (report/seen/metrics/crawl_log/bloom/host_state) plus the
+    # atomic manifest commit run in a background tail that overlaps the
+    # next wave's select+verify. The admit phase joins the tail before
+    # touching seen/bloom/HEAD, so every read still sees a fully committed
+    # wave; a tail failure surfaces there and aborts the crawl with the
+    # wave unpublished (crash semantics identical to the synchronous
+    # order). False = join the tail immediately (the pre-round-6 ordering;
+    # same code path, kept for A/B and for bisecting).
+    pipelined_commit: bool = True
     # rank buckets per core: the admit rank window hash-partitions by
     # bucket id, and with n_buckets ≈ partitions balls-into-bins collisions
     # give the window stage a ~2× straggler; more (smaller) buckets even

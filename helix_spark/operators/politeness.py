@@ -167,9 +167,13 @@ def host_state_updates(
         hosts = hosts.withColumn("crawl_delay_waves", F.lit(0))
     updated = hosts.select(
         "host",
-        (F.lit(wave + 1) + F.coalesce(F.col("crawl_delay_waves"), F.lit(0))).alias(
-            "next_allowed_wave"
-        ),
+        # pinned long: the natural type of this sum follows the caller's
+        # robots schema (int or long crawl_delay_waves), and a mixed-width
+        # host_state would re-insert cast Projects into the select plan's
+        # committed∪delta composition on some waves (shape drift the
+        # wave_plan_identity check rejects)
+        (F.lit(wave + 1) + F.coalesce(F.col("crawl_delay_waves"), F.lit(0)))
+        .cast("long").alias("next_allowed_wave"),
         F.col("cursor"),
     )
     if new_hosts is not None:
@@ -178,7 +182,7 @@ def host_state_updates(
             .join(updated.select("host"), on="host", how="left_anti")
             .select(
                 "host",
-                F.lit(0).alias("next_allowed_wave"),
+                F.lit(0).cast("long").alias("next_allowed_wave"),
                 F.lit(-1).cast("long").alias("cursor"),
             )
         )

@@ -217,6 +217,64 @@ class CrawlEngine:
         self._mins_cache: dict[int, int] | None = None
         self.aborted = False
         self.verbose = bool(os.environ.get("HELIX_SPARK_VERBOSE"))
+        # pipelined wave commit (cfg.pipelined_commit): the background tail
+        # (report/seen/metrics/bloom/host_state writes + the atomic commit)
+        # of the PREVIOUS wave, joined before the next admit touches
+        # seen/bloom/HEAD; the pending frontier manifest + host-updates
+        # delta checkpoint are what the next select reads instead
+        self._tail_future = None
+        self._tail_frees: list = []
+        self._pending_frontier_m: str | None = None
+        self._pending_hs_delta = None
+        self._delta_to_free = None
+
+    def _wait_tail(self) -> None:
+        """Join the previous wave's commit tail: re-raises a tail failure
+        (the wave is then unpublished — identical crash semantics to the
+        synchronous order), frees the wave checkpoints the tail's writes
+        were reading, and drops the pending-manifest overrides (HEAD now
+        covers them)."""
+        fut, self._tail_future = self._tail_future, None
+        if fut is None:
+            return
+        try:
+            fut.result()
+        finally:
+            frees, self._tail_frees = self._tail_frees, []
+            for df in frees:
+                free_local_checkpoint(df)
+            self._pending_frontier_m = None
+            # the delta this tail carried is now in HEAD — stop overlaying
+            # it (a later enqueue/compaction could otherwise be shadowed by
+            # stale rows); its blocks stay live until the select that read
+            # it is done, so the free rides the NEXT tail's frees list
+            self._delta_to_free = self._pending_hs_delta
+            self._pending_hs_delta = None
+
+    def _compose_hs(self, committed):
+        """host_state view for the SELECT phase under pipelined commit:
+        committed table (HEAD — the previous wave's tail may not have
+        published yet) overlaid with the pending host-updates delta
+        checkpoint. Exact either way: if the tail already committed, the
+        delta rows equal their committed selves and the anti-join+union is
+        idempotent. The delta is replaced by an empty RDD-backed frame when
+        none is pending so the select plan keeps ONE operator shape across
+        waves (plan_review wave_plan_identity)."""
+        if not self.cfg.pipelined_commit:
+            return committed
+        delta = self._pending_hs_delta
+        if committed is None:
+            return delta
+        if delta is None:
+            delta = self.spark.createDataFrame(
+                self.spark.sparkContext.emptyRDD(), committed.schema
+            )
+        # broadcast the delta side explicitly: it is O(one wave's changed
+        # hosts); without the hint the anti-join would shuffle-sort the
+        # whole committed table into the select plan every wave
+        return committed.join(
+            F.broadcast(delta.select("host")), on="host", how="left_anti"
+        ).unionByName(delta.select(*committed.columns))
 
     @contextmanager
     def _static_planner(self):
@@ -830,6 +888,7 @@ class CrawlEngine:
         everything queued (the global counter only grows, preserving the
         cursor model's prefix property). One atomic snapshot per call; safe
         between run() calls and across resume. Returns admitted count."""
+        self._wait_tail()  # defensive: run() always joins its tail on exit
         head = self.wh.head_commit()
         if head and self.counter == 0:
             # engine constructed fresh against an existing warehouse
@@ -883,7 +942,7 @@ class CrawlEngine:
                 )
                 .select(
                     "host",
-                    F.lit(0).alias("next_allowed_wave"),
+                    F.lit(0).cast("long").alias("next_allowed_wave"),
                     F.lit(-1).cast("long").alias("cursor"),
                 )
             )
@@ -896,7 +955,22 @@ class CrawlEngine:
     # ------------------------------------------------------------- wave body
     def run(self, resume: bool = False) -> CrawlOutcome:
         with self._static_planner():
-            return self._run(resume)
+            primary: BaseException | None = None
+            try:
+                return self._run(resume)
+            except BaseException as e:
+                primary = e
+                raise
+            finally:
+                # join the last wave's pipelined commit tail before
+                # returning — run() must not leave an unpublished wave in
+                # flight. A tail failure surfaces here unless the wave
+                # loop itself already raised (don't mask the primary).
+                try:
+                    self._wait_tail()
+                except Exception:
+                    if primary is None:
+                        raise
 
     def _run(self, resume: bool = False) -> CrawlOutcome:
         cfg, wh, spark = self.cfg, self.wh, self.spark
@@ -920,8 +994,21 @@ class CrawlEngine:
             self._ingest_filters(seen)
             self.counter += sum(counts.values())
             self.live += n_frontier
-            self._commit_wave(-1, frontier, report, seen, None, 0, counts,
-                              n_frontier=n_frontier)
+            # register the seed hosts (cursor −1, eligible now) — exactly
+            # the defaults the select join coalesces for an ABSENT host, so
+            # selection is unchanged; it closes the one gap in the "host_
+            # state covers every frontier host" invariant (the enqueue path
+            # already registers), which the pipelined commit's incremental
+            # fresh-host counting relies on for an exact n_hosts.
+            seed_hosts = None
+            if n_frontier > 0:
+                seed_hosts = frontier.select("host").distinct().select(
+                    "host",
+                    F.lit(0).cast("long").alias("next_allowed_wave"),
+                    F.lit(-1).cast("long").alias("cursor"),
+                )
+            self._commit_wave(-1, frontier, report, seen, seed_hosts, 0, counts,
+                              n_frontier=n_frontier, host_updates=seed_hosts)
             free_local_checkpoint(frontier)
             start_wave = 0
 
@@ -939,9 +1026,16 @@ class CrawlEngine:
             if self.live <= 0:  # exact driver-side counter — no frontier scan
                 break
             t0_sv = time.time()
-            host_state = self.read_host_state()
+            # pipelined commit: the previous wave's tail may not have
+            # published yet — read the frontier through the pending
+            # manifest (written on that wave's critical path) and overlay
+            # host_state with the pending delta checkpoint; both reads are
+            # exact whether or not the tail has since committed
+            pend_f = self._pending_frontier_m
+            host_state = self._compose_hs(self.read_host_state())
             mins = self._cursor_mins(host_state)
-            frontier = wh.read_ranged("frontier", bucket_mins=mins)
+            frontier = wh.read_ranged("frontier", bucket_mins=mins,
+                                      manifest_file=pend_f)
             if frontier is None:
                 break
             # the select join only needs host rows that can match a live
@@ -951,15 +1045,19 @@ class CrawlEngine:
             # read is O(live-bucket hosts), not O(all hosts))
             hs_select = host_state
             if wh.num_buckets("host_state") == self._frontier_nb():
-                live_hbs = wh.ranged_live_buckets("frontier", bucket_mins=mins)
+                live_hbs = wh.ranged_live_buckets("frontier", bucket_mins=mins,
+                                                  manifest_file=pend_f)
                 if live_hbs is not None:
-                    hs_select = self.read_host_state(buckets=live_hbs)
+                    hs_select = self._compose_hs(
+                        self.read_host_state(buckets=live_hbs)
+                    )
             self._set_shuffle_fanout(self.live)
             batch = select_batch(
                 frontier, hs_select, wave, cfg.per_host_budget, cfg.salt_partitions,
                 # map-split estimate straight off the manifest: keeps the
                 # wave loop free of per-wave plan→RDD conversions
-                input_splits=wh.ranged_leaf_count("frontier", bucket_mins=mins),
+                input_splits=wh.ranged_leaf_count("frontier", bucket_mins=mins,
+                                                  manifest_file=pend_f),
                 # size-aware: broadcasting host_state dies past the driver
                 # ceiling at web-scale host counts — switch to shuffle-hash
                 broadcast_state=self.n_hosts <= cfg.host_state_broadcast_max_rows,
@@ -1029,7 +1127,9 @@ class CrawlEngine:
             _mark("select+verify")
             batch_count = stats.get("n") or 0
             if batch_count == 0:
-                # logical-clock tick: every queued host is still delayed
+                # logical-clock tick: every queued host is still delayed.
+                # Join the previous wave's tail first — commits are ordered.
+                self._wait_tail()
                 wh.commit(wave, {}, metrics={
                     "counter": self.counter, "live": self.live, "batch": 0,
                     "n_hosts": self.n_hosts,
@@ -1038,6 +1138,11 @@ class CrawlEngine:
                 wave += 1
                 continue
             total_fetched += batch_count
+            # pipelined commit: the previous wave's tail overlapped the
+            # select phase above; join it BEFORE anything reads HEAD (the
+            # early-commit appends, the admit's seen anti-join, the bloom)
+            # — every downstream read sees a fully committed wave
+            self._wait_tail()
             log_rows = batch.select(F.lit(wave).alias("wave"), "priority", "url")
 
             if stats.get("seed_redirects"):
@@ -1192,8 +1297,67 @@ class CrawlEngine:
                 hs_anti_src,
                 new_hosts=new_frontier,
             )
-            if host_state is not None:
-                hs = host_state.join(
+            pipelined = cfg.pipelined_commit
+            prev_delta, self._delta_to_free = self._delta_to_free, None
+            frontier_manifest = None
+            if pipelined:
+                # CRITICAL PATH of the pipelined commit — only what the
+                # NEXT wave's select depends on: the frontier append (run
+                # concurrently) and the host-updates checkpoint, whose
+                # Observation carries the per-bucket cursor minima + the
+                # fresh-host count so the driver stats are current before
+                # the tail even starts. Everything else commits in the
+                # background tail, overlapped with the next select.
+                from concurrent.futures import ThreadPoolExecutor
+
+                crit = ThreadPoolExecutor(max_workers=1)
+                fut_frontier = None
+                if n_frontier > 0:
+                    fut_frontier = crit.submit(
+                        wh.append_ranged, "frontier",
+                        new_frontier.select(FRONTIER_COLS), "priority",
+                        cfg.frontier_range_bits, "host",
+                        cfg.frontier_host_buckets,
+                    )
+                obs_hs = Observation()
+                nb = self._frontier_nb()
+                hb = F.pmod(F.xxhash64(F.col("host")), F.lit(nb)).cast("int")
+                hs_updates = hs_updates.observe(
+                    obs_hs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(
+                        (F.col("next_allowed_wave") == 0) & (F.col("cursor") == -1)
+                    ).alias("fresh"),
+                    *[
+                        F.min(F.when(hb == i, F.col("cursor"))).alias(f"m{i}")
+                        for i in range(nb)
+                    ],
+                ).localCheckpoint(True, self._ckpt_level)
+                got = observed_metrics(obs_hs)
+                # incremental host count: fresh rows are the only inserts
+                # (fetched hosts are pre-registered by the frontier
+                # invariant); minima MERGE keeps the cache a safe lower
+                # bound in both write regimes — the compaction cadence
+                # refreshes it exactly
+                self.n_hosts += int(got.get("fresh") or 0)
+                cache = dict(self._mins_cache or {})
+                for i in range(nb):
+                    m = got.get(f"m{i}")
+                    if m is not None:
+                        cache[i] = min(cache[i], m) if i in cache else m
+                self._mins_cache = cache
+                if fut_frontier is not None:
+                    frontier_manifest = fut_frontier.result()
+                crit.shutdown(wait=True)
+                self._pending_frontier_m = frontier_manifest
+                self._pending_hs_delta = hs_updates
+            # the composition base must be the COMMITTED table (the tail of
+            # the previous wave has been joined above, so HEAD is current —
+            # the select-phase `host_state` view may carry the pending
+            # delta overlay and must not be the base here)
+            hs_base = self.read_host_state()
+            if hs_base is not None:
+                hs = hs_base.join(
                     hs_updates.select("host"), on="host", how="left_anti"
                 ).unionByName(hs_updates)
             else:
@@ -1208,19 +1372,51 @@ class CrawlEngine:
                 commit_report = report_rows.unionByName(admit_report)
                 commit_seen = seen_updates.unionByName(admit_seen)
                 extra_jobs = {"crawl_log": lambda: wh.append("crawl_log", log_rows)}
-            self._commit_wave(
-                wave, new_frontier, commit_report, commit_seen, hs, batch_count,
-                counts,
-                n_frontier=n_frontier,
-                avg_load_ms=stats.get("avg_load_ms"),
-                extra_jobs=extra_jobs,
-                filters_prep=lambda: self._ingest_filters(admit_seen),
-                early=early,
-                host_updates=hs_updates,
-            )
+            if pipelined:
+                from concurrent.futures import ThreadPoolExecutor
+
+                tail = ThreadPoolExecutor(max_workers=1)
+                self._tail_frees = [verified, new_frontier] + (
+                    [prev_delta] if prev_delta is not None else []
+                )
+                self._tail_future = tail.submit(
+                    self._commit_wave,
+                    wave, None, commit_report, commit_seen, hs, batch_count,
+                    counts,
+                    n_frontier=n_frontier,
+                    avg_load_ms=stats.get("avg_load_ms"),
+                    extra_jobs=extra_jobs,
+                    filters_prep=lambda: self._ingest_filters(admit_seen),
+                    early=early,
+                    host_updates=hs_updates,
+                    frontier_manifest=frontier_manifest,
+                    hs_prestats=True,
+                )
+                tail.shutdown(wait=False)
+            else:
+                self._commit_wave(
+                    wave, new_frontier, commit_report, commit_seen, hs,
+                    batch_count, counts,
+                    n_frontier=n_frontier,
+                    avg_load_ms=stats.get("avg_load_ms"),
+                    extra_jobs=extra_jobs,
+                    filters_prep=lambda: self._ingest_filters(admit_seen),
+                    early=early,
+                    host_updates=hs_updates,
+                )
             _mark("commit")
             if cfg.compact_every and (wave + 1) % cfg.compact_every == 0:
-                # periodic LSM compaction; its own atomic commit
+                # periodic LSM compaction; its own atomic commit. It reads
+                # and commits at HEAD, so the pipelined tail must have
+                # published this wave first (a compaction wave forfeits the
+                # overlap — 1 in compact_every waves).
+                self._wait_tail()
+                # the pipelined merge rule keeps the minima cache a safe
+                # LOWER bound in the flat-overwrite regime too (it can no
+                # longer rise with the full-table Observation) — recompute
+                # exactly here so frontier pruning stays tight
+                if not wh.num_buckets("host_state"):
+                    self._mins_cache = None
                 cm = {}
                 m1 = wh.compact_bucketed(
                     "seen", version_col="wave", prefer_nonnull="status_code",
@@ -1261,11 +1457,14 @@ class CrawlEngine:
                                                  "live": self.live,
                                                  "n_hosts": self.n_hosts,
                                                  "compaction": True})
-            # wave committed: the two checkpoints (select+verify batch, ranked
-            # admissions) are dead — free their blocks NOW instead of waiting
-            # for driver GC (block-manager hygiene; see free_local_checkpoint)
-            free_local_checkpoint(verified)
-            free_local_checkpoint(new_frontier)
+            # wave committed (or committing in the tail): the two wave
+            # checkpoints (select+verify batch, ranked admissions) die with
+            # the commit — freed here in the synchronous order, or by
+            # _wait_tail once the tail's writes are done reading them
+            # (block-manager hygiene; see free_local_checkpoint)
+            if not pipelined:
+                free_local_checkpoint(verified)
+                free_local_checkpoint(new_frontier)
             if self.verbose:
                 print(
                     f"[helix-spark] wave {wave}: batch={batch_count} "
@@ -1393,7 +1592,8 @@ class CrawlEngine:
                      avg_load_ms: float | None = None,
                      extra_jobs: dict | None = None,
                      filters_prep=None, early: dict | None = None,
-                     host_updates=None) -> None:
+                     host_updates=None, frontier_manifest: str | None = None,
+                     hs_prestats: bool = False) -> None:
         """``extra_jobs``: {table: thunk → manifest} to run in the commit
         pool alongside the table writes. ``filters_prep``: thunk run in the
         pool BEFORE _save_filters on the same pool task (bloom ingest must
@@ -1403,9 +1603,19 @@ class CrawlEngine:
         pre-resolved table futures in 'manifests', the settled report
         write's Observation in 'obs_report' for the metrics sum, and the
         owning 'pool'); when present, ``report``/``seen`` carry ONLY the
-        admit halves and chain onto the early manifests."""
+        admit halves and chain onto the early manifests.
+
+        Pipelined-commit mode (plans/crawl._run steady wave):
+        ``frontier_manifest`` links an ALREADY-WRITTEN frontier append
+        (done on the wave's critical path so the next select can read it)
+        instead of submitting the job here; ``hs_prestats`` marks that the
+        cursor-minima/fresh-host Observation already rode the
+        ``host_updates`` checkpoint and the driver stats are current — the
+        host_state write runs bare and ``jobs_after`` is skipped."""
         wh, cfg = self.wh, self.cfg
         manifests = dict(extra_manifests or {})
+        if frontier_manifest is not None:
+            manifests["frontier"] = frontier_manifest
         # The table writes below are independent jobs over already-
         # checkpointed inputs — submit them concurrently so the scheduler
         # interleaves their tasks (sequential writes leave most cores idle
@@ -1435,7 +1645,7 @@ class CrawlEngine:
                 return fut
 
             pool.submit = _timed_submit
-        if n_frontier is None or n_frontier > 0:
+        if frontier_manifest is None and (n_frontier is None or n_frontier > 0):
             # append-only ranged LSM: O(new rows); consumed rows are encoded
             # by host_state cursors, fully-dead ranges pruned at compaction
             jobs["frontier"] = pool.submit(
@@ -1489,7 +1699,7 @@ class CrawlEngine:
             min_cols = [
                 F.min(F.when(hb == i, F.col("cursor"))).alias(f"m{i}")
                 for i in range(nb)
-            ]
+            ] if not hs_prestats else []
             hs_bucketed = wh.num_buckets("host_state") > 0
             # LSM once past the threshold (and permanently once the table is
             # bucketed): per-wave write is O(changed hosts), not O(all
@@ -1502,14 +1712,18 @@ class CrawlEngine:
             if lsm and hs_bucketed and host_updates is not None:
                 # steady state: append ONLY the changed rows; the per-bucket
                 # cursor minima + fresh-host count ride the tiny write
-                upd = host_updates.withColumn("wave", F.lit(wave)).observe(
-                    obs_hosts,
-                    F.count(F.lit(1)).alias("n"),
-                    F.count_if(
-                        (F.col("next_allowed_wave") == 0) & (F.col("cursor") == -1)
-                    ).alias("fresh"),
-                    *min_cols,
-                )
+                # (unless they already rode the critical-path checkpoint —
+                # hs_prestats — in which case the write runs bare)
+                upd = host_updates.withColumn("wave", F.lit(wave))
+                if not hs_prestats:
+                    upd = upd.observe(
+                        obs_hosts,
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_if(
+                            (F.col("next_allowed_wave") == 0) & (F.col("cursor") == -1)
+                        ).alias("fresh"),
+                        *min_cols,
+                    )
                 nb_hs = wh.num_buckets("host_state")
                 jobs["host_state"] = pool.submit(
                     wh.append_bucketed, "host_state", upd, "host", nb_hs
@@ -1520,7 +1734,7 @@ class CrawlEngine:
                 # into the bucketed LSM layout at the threshold crossing
                 # (bucket modulus = the frontier's, so host-bucket pruning
                 # aligns across the two tables)
-                full = host_state.observe(
+                full = host_state if hs_prestats else host_state.observe(
                     obs_hosts, F.count(F.lit(1)).alias("n"), *min_cols
                 )
                 if lsm:
@@ -1558,7 +1772,7 @@ class CrawlEngine:
                         if got.get(f"m{i}") is not None
                     }
 
-            jobs_after = _update_host_stats
+            jobs_after = None if hs_prestats else _update_host_stats
         else:
             jobs_after = None
 

@@ -381,12 +381,15 @@ class SnapshotWarehouse:
         return keep
 
     def read_ranged(self, name: str, min_exclusive: int | None = None,
-                    bucket_mins: dict[int, int] | None = None) -> DataFrame | None:
+                    bucket_mins: dict[int, int] | None = None,
+                    manifest_file: str | None = None) -> DataFrame | None:
         """Read a ranged table, PRUNING leaves whose entire ``range_col``
         span is consumed (≤ the global ``min_exclusive``, or ≤ their own
         host-bucket's cursor in ``bucket_mins``) at the manifest level — no
-        file IO for dead leaves."""
-        m = self._load_manifest(name)
+        file IO for dead leaves. ``manifest_file`` reads a specific
+        (possibly not-yet-committed) manifest instead of HEAD — the
+        pipelined wave commit's next-select read."""
+        m = self._load_manifest(name, manifest_file)
         if m is None:
             return None
         paths = []
@@ -503,13 +506,14 @@ class SnapshotWarehouse:
         return (m.get("bucket_col"), m.get("num_buckets"))
 
     def ranged_live_buckets(self, name: str, min_exclusive: int | None = None,
-                            bucket_mins: dict[int, int] | None = None) -> list[int] | None:
+                            bucket_mins: dict[int, int] | None = None,
+                            manifest_file: str | None = None) -> list[int] | None:
         """Host-hash buckets that still have LIVE leaves after cursor
         pruning — from the manifest alone. A consumer keyed by the same
         (bucket_col, num_buckets) spec (host_state) can restrict its own
         read to these buckets: hosts whose every frontier leaf is consumed
         cannot appear in the wave's select join. None for flat manifests."""
-        m = self._load_manifest(name)
+        m = self._load_manifest(name, manifest_file)
         if m is None or m.get("bucket_col") is None:
             return None
         hbs: set[int] = set()
@@ -518,11 +522,12 @@ class SnapshotWarehouse:
         return sorted(hbs)
 
     def ranged_leaf_count(self, name: str, min_exclusive: int | None = None,
-                          bucket_mins: dict[int, int] | None = None) -> int:
+                          bucket_mins: dict[int, int] | None = None,
+                          manifest_file: str | None = None) -> int:
         """Number of live leaf dirs a read_ranged with the same cursors would
         scan — from the manifest alone, no Spark plan / RDD conversion (the
         wave loop sizes its select shuffle from this)."""
-        m = self._load_manifest(name)
+        m = self._load_manifest(name, manifest_file)
         if m is None:
             return 0
         n = 0

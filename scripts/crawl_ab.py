@@ -32,6 +32,9 @@ CFG_OVERRIDES = {
     # bench waves are ~44.7k rows — just under the 50k early-commit engage
     # point; this variant asks whether the overlap pays there too
     "early30k": {"early_commit_min_batch": 30_000},
+    # round-6: synchronous wave commit (the pre-pipelining order) vs the
+    # pipelined default
+    "sync_commit": {"pipelined_commit": False},
 }
 
 # env-var overrides per variant (set before the engine builds its session /
