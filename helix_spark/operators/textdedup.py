@@ -462,6 +462,7 @@ def connected_components(
     id_a: str = "id_a", id_b: str = "id_b", node_col: str = "doc_id",
     max_iters: int = 30,
     ckpt_every: int = 1,
+    driver_max_edges: int = 1_000_000,
     _rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the union-find
@@ -507,7 +508,7 @@ def connected_components(
     from helix_spark.operators.rank import free_local_checkpoint
 
     # canonical orientation: src > dst (self-loops dropped)
-    edges, prev = _ck_with_digest(
+    canon = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(
@@ -515,6 +516,68 @@ def connected_components(
         )
         .distinct()
     )
+    # SMALL-GRAPH FAST PATH (``driver_max_edges``; 0/None disables): the
+    # star rounds cost 2-3 Spark jobs even when the deduplicated edge set
+    # is a handful of pairs — the common case for a quality dedup pass
+    # over a mostly-unique corpus. Up to the cap, a driver-side union-find
+    # with min-label tracking computes the IDENTICAL labels (component =
+    # min reachable id) in one bounded ``take``; past the cap the take
+    # stops early (limit-incremental scan) and the distributed O(log n)
+    # rounds below run unchanged — the same size-adaptive hybrid as the
+    # seen anti-join's semi-broadcast cap (operators/dedup.py). The cap is
+    # driver-bounded by construction: ≤ driver_max_edges+1 two-field rows.
+    if driver_max_edges:
+        head = canon.take(driver_max_edges + 1)
+        if len(head) <= driver_max_edges:
+            if _rounds_out is not None:
+                _rounds_out.append(0)
+            parent: dict = {}
+
+            def _find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                s, d = row["src"], row["dst"]
+                for v in (s, d):
+                    if v not in parent:
+                        parent[v] = v
+                rs, rd = _find(s), _find(d)
+                if rs != rd:
+                    parent[rs] = rd
+            comp_min: dict = {}
+            for v in parent:
+                r = _find(v)
+                if r not in comp_min or v < comp_min[r]:
+                    comp_min[r] = v
+            node_out = nodes.select(F.col(node_col).alias("node"))
+            if parent:
+                from pyspark.sql.types import StructField, StructType
+
+                ntype = pairs.schema[id_a].dataType
+                mdf = pairs.sparkSession.createDataFrame(
+                    [(v, comp_min[_find(v)]) for v in parent],
+                    StructType([
+                        StructField("node", ntype),
+                        StructField("component", ntype),
+                    ]),
+                )
+                labels = node_out.join(
+                    F.broadcast(mdf), on="node", how="left"
+                ).select(
+                    "node",
+                    F.coalesce("component", F.col("node")).alias("component"),
+                )
+            else:
+                labels = node_out.select(
+                    "node", F.col("node").alias("component")
+                )
+            return labels.select(F.col("node").alias(node_col), "component")
+    edges, prev = _ck_with_digest(canon)
     def _one_round(e: DataFrame) -> DataFrame:
         # large-star
         sym = e.select("src", "dst").unionByName(

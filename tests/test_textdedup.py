@@ -195,9 +195,52 @@ def test_connected_components_path_graph_log_rounds(spark):
     )
     nodes = spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
     rounds: list[int] = []
-    got = connected_components(pairs, nodes, _rounds_out=rounds).collect()
+    got = connected_components(
+        pairs, nodes, driver_max_edges=0, _rounds_out=rounds
+    ).collect()
     assert len(got) == n and all(r["component"] == 1 for r in got)
     assert rounds[0] <= 2 * math.log2(n)
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The small-graph driver union-find (round-6) must produce labels
+    identical to the distributed star rounds, including dup/reversed
+    pairs, bridges, and singletons; and the cap must route correctly."""
+    from helix_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (5, 4), (7, 7), (9, 8), (8, 6)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in range(1, 11)], "doc_id long"
+    )
+    rounds_drv: list[int] = []
+    drv = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            pairs, nodes, _rounds_out=rounds_drv
+        ).collect()
+    }
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            pairs, nodes, driver_max_edges=0
+        ).collect()
+    }
+    assert rounds_drv == [0]  # cap engaged: no distributed rounds ran
+    assert drv == dist == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7,
+                           8: 6, 9: 6, 10: 10}
+    # a cap below the edge count must route to the distributed path
+    rounds_small: list[int] = []
+    via_dist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            pairs, nodes, driver_max_edges=2, _rounds_out=rounds_small
+        ).collect()
+    }
+    assert rounds_small and rounds_small[0] > 0
+    assert via_dist == drv
 
 
 def test_connected_components_raises_on_nonconvergence(spark):
@@ -210,7 +253,7 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(1, 41)], "doc_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, nodes, max_iters=1)
+        connected_components(pairs, nodes, max_iters=1, driver_max_edges=0)
 
 
 SIMHASH_TEXTS = [
