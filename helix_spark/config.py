@@ -116,6 +116,18 @@ class CrawlConfig:
     # order). False = join the tail immediately (the pre-round-6 ordering;
     # same code path, kept for A/B and for bisecting).
     pipelined_commit: bool = True
+    # overlapped select materialization: the wave's select+verify
+    # checkpoint is LAZY and materialized by the (tiny) wave-stats agg job
+    # running in a background thread, while the driver builds the admit
+    # tree (admissions → enrichment → dedup → seen anti-join) — the wave's
+    # only remaining idle-cluster driver window (~0.6-0.9 s/wave measured
+    # at the bench config). Results are identical by construction: the
+    # stats agg computes the same aggregates over the same checkpointed
+    # rows the old select-job Observation did, and the admit tree is lazy
+    # until the rank job (which still waits for the stats' boundaries).
+    # False = eager checkpoint then a synchronous stats agg over the cached
+    # blocks (the A/B leg isolating the overlap).
+    overlap_select_build: bool = True
     # rank buckets per core: the admit rank window hash-partitions by
     # bucket id, and with n_buckets ≈ partitions balls-into-bins collisions
     # give the window stage a ~2× straggler; more (smaller) buckets even

@@ -97,6 +97,7 @@ def bucketed_global_rank(
     offset: int = 0,
     extra_metrics: dict[str, Column] | None = None,
     storage_level=None,
+    counts_extra: dict[str, Column] | None = None,
 ) -> tuple[DataFrame, dict[int, int], dict]:
     """Add a 0-based dense global rank (plus ``offset``) by ``order_cols``
     in a single job ending in a single localCheckpoint.
@@ -106,6 +107,14 @@ def bucketed_global_rank(
     inputs). ``extra_metrics`` are additional aggregate Columns to observe
     during the same pass (e.g. a category count the caller would otherwise
     pay a separate job for).
+
+    ``counts_extra``: additional aggregate Columns to RIDE the per-bucket
+    counts job (the tiny agg over the cached checkpoint blocks) — for
+    aggregates too heavy for the Observation (CollectMetrics evaluates per
+    input row) that the caller would otherwise pay a separate whole job
+    for (e.g. the crawl's new-host bucket set). Each lands in the extras
+    dict as the LIST of its per-bucket group values; the caller combines
+    (union for sets, sum for counts).
 
     Returns (ranked df backed by the checkpoint, {bucket: exact row count},
     {extra metric name: value}).
@@ -170,8 +179,15 @@ def bucketed_global_rank(
         import time as _time
 
         _t_cn = _time.time()
-    for r in ck.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect():
+    cx_names = list((counts_extra or {}).keys())
+    cx_aggs = [(counts_extra or {})[n].alias(n) for n in cx_names]
+    cx_vals: dict[str, list] = {n: [] for n in cx_names}
+    for r in ck.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"), *cx_aggs
+    ).collect():
         counts[int(r["__pid"])] = int(r["__n"])
+        for n in cx_names:
+            cx_vals[n].append(r[n])
     if _t_cn is not None:
         import time as _time
 
@@ -189,4 +205,6 @@ def bucketed_global_rank(
     out = ck.withColumn(
         rank_col, (F.col("__lr") - 1 + off_expr).cast("long")
     ).drop("__pid", "__lr")
-    return out, counts, {n: got.get(n) for n in extra_names}
+    extras = {n: got.get(n) for n in extra_names}
+    extras.update(cx_vals)
+    return out, counts, extras

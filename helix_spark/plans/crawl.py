@@ -499,6 +499,20 @@ class CrawlEngine:
           anti (the safe giant-batch default).
 
         → (frontier_rows, report_rows, seen_rows, partition_counts, n_frontier)"""
+        fresh = self._admit_prepare(items, est_candidates)
+        out = self._admit_finish(fresh, wave, boundaries)
+        return out[:5]
+
+    def _admit_prepare(self, items: DataFrame,
+                       est_candidates: int | None = None) -> DataFrame:
+        """The PLAN-BUILD half of admission: enrichment → first-wins dedup →
+        bloom/seen anti-join, returned as a LAZY DataFrame (no job). Split
+        from ``_admit_finish`` so the wave loop can build this tree on the
+        driver WHILE the select checkpoint job runs on the cluster
+        (cfg.overlap_select_build) — everything here is independent of the
+        select stats; only the rank's bucket boundaries (and the job
+        submission itself) need them. Reads the seen table at HEAD, so the
+        previous wave's commit tail must be joined first."""
         _t_en = time.time()
         cfg = self.cfg
         status = F.when(F.col("resolved").isNull(), F.lit(STATUS_MALFORMED_URI)).otherwise(
@@ -593,12 +607,44 @@ class CrawlEngine:
         if self.verbose:
             print(f"[helix-spark]     admit anti-build {time.time() - _t_aj:.1f}s",
                   flush=True)
+        return fresh
+
+    def _admit_finish(self, fresh: DataFrame, wave: int,
+                      boundaries: list[int] | None = None,
+                      host_bucket_mod: int | None = None):
+        """The JOB half of admission: bucketed rank + ONE materialization,
+        then the category split. ``host_bucket_mod`` set → the per-bucket
+        counts job additionally collects the host-hash-bucket set of the
+        admitted frontier rows (pmod(xxhash64(host), mod)) so the wave loop
+        needs no separate distinct job for the host_state anti-join's
+        bucket pruning; collect_set drops NULLs, and admitted ('ok') rows
+        always have a non-empty host, so the set equals the distinct job's.
+
+        → (frontier_rows, report_rows, seen_rows, partition_counts,
+        n_frontier, new_host_buckets | None)"""
+        t0 = time.time()
         # ONE job, ONE materialization: the bucketed rank's window runs
         # inside the same job as enrichment/dedup/anti-join, per-bucket
         # counts + the frontier-insert count ride its Observation, and the
         # final priority is a lazy projection over the checkpoint — no
         # separate count jobs, no repartitionByRange sampling pass, no
         # intermediate block writes (the round-2 admit's non-scaling cost).
+        counts_extra = None
+        if host_bucket_mod:
+            host_out = F.regexp_extract(F.col("key"), _HOST_RE, 1)
+            counts_extra = {
+                "__hbs": F.collect_set(
+                    F.when(
+                        (F.col("url_status") == 0) & ~F.col("robots_blocked"),
+                        F.pmod(
+                            F.xxhash64(
+                                F.when(host_out == "", None).otherwise(host_out)
+                            ),
+                            F.lit(host_bucket_mod),
+                        ).cast("int"),
+                    )
+                )
+            }
         fresh, counts, extras = bucketed_global_rank(
             fresh, ["parent_priority", "seq"], boundaries,
             rank_col="priority", offset=self.counter,
@@ -606,8 +652,14 @@ class CrawlEngine:
                 (F.col("url_status") == 0) & ~F.col("robots_blocked")
             )},
             storage_level=self._ckpt_level,
+            counts_extra=counts_extra,
         )
         n_frontier = int(extras["__ok"] or 0)
+        new_hbs = None
+        if host_bucket_mod:
+            new_hbs = sorted(
+                {b for group in extras["__hbs"] for b in (group or [])}
+            )
         if self.verbose:
             print(
                 f"[helix-spark]   admit: single-job rank+ckpt={time.time() - t0:.1f}s "
@@ -658,7 +710,7 @@ class CrawlEngine:
             "status_pre", "ctype_pre", "size_pre", "is_internal", "priority",
             F.lit(wave).alias("wave_admitted"),
         )
-        return frontier_rows, report_rows, seen_rows, counts, n_frontier
+        return frontier_rows, report_rows, seen_rows, counts, n_frontier, new_hbs
 
     # -------------------------------------------------------------- readers
     def _frontier_nb(self) -> int:
@@ -1079,16 +1131,22 @@ class CrawlEngine:
                     self._scope_expr(F.col("__seed_final"), final_host, F.col("parent_host")),
                 ).otherwise(F.col("is_internal")),
             )
-            # ONE materialization for select+verify (round 2 paid two), with
-            # the wave stats AND the admit rank-bucket boundaries observed
-            # during the same pass — no separate agg job. The boundary
-            # quantiles are over the fetched pages' priorities, which is the
-            # parent_priority distribution of this wave's admissions up to
-            # out-degree weighting; rank correctness is boundary-independent
-            # (operators/rank.py), this only balances the rank buckets.
-            obs = Observation()
-            verified = verified.observe(
-                obs,
+            # ONE materialization for select+verify (round 2 paid two). The
+            # wave stats (batch count, seed redirects, avg load, rank-bucket
+            # boundary quantiles) ride ONE tiny agg job over the checkpointed
+            # batch. Under cfg.overlap_select_build the checkpoint is LAZY
+            # and that agg — submitted from a background thread — IS the
+            # materializing action, so the driver builds the entire admit
+            # tree (admissions → enrichment → first-wins dedup → seen
+            # anti-join) WHILE the cluster runs the select job (guide §2.6:
+            # overlap independent work; the build was the wave's only
+            # remaining idle-cluster driver window — measured 0.6-0.9 s/wave
+            # at the bench config). The boundary quantiles are over the
+            # fetched pages' priorities, which is the parent_priority
+            # distribution of this wave's admissions up to out-degree
+            # weighting; rank correctness is boundary-independent
+            # (operators/rank.py), boundaries only balance the rank buckets.
+            stat_cols = [
                 F.count(F.lit(1)).alias("n"),
                 F.count_if(
                     F.col("redirected") & F.col("__seed_url")
@@ -1101,35 +1159,111 @@ class CrawlEngine:
                     [i / self._rank_buckets for i in range(1, self._rank_buckets)],
                     1000,
                 ).alias("rank_bounds"),
-            )
+            ]
             if os.environ.get("HELIX_SPARK_PLAN_LOG"):
                 from helix_spark.operators.rank import PLAN_LOG
 
                 PLAN_LOG.append(
                     "select:" + verified._jdf.queryExecution().executedPlan().toString()
                 )
-            if self.verbose:
-                # split the near-constant select+verify phase: DRIVER time
-                # (manifest reads, plan construction, py4j Column trees) vs
-                # the checkpoint JOB (scan→join→window→write) — they need
-                # different fixes (BENCH/BASELINE.md round-5 decomposition)
-                t_drv = time.time() - t0_sv
-                verified = verified.localCheckpoint(True, self._ckpt_level)
-                print(
-                    f"[helix-spark]     select driver={t_drv:.1f}s "
-                    f"ckpt-job={time.time() - t0_sv - t_drv:.1f}s",
-                    flush=True,
+            t_drv = time.time() - t0_sv
+            overlap = cfg.overlap_select_build
+            stats_fut = None
+            if overlap:
+                verified = verified.localCheckpoint(False, self._ckpt_level)
+                from concurrent.futures import ThreadPoolExecutor
+
+                _vck = verified
+                spool = ThreadPoolExecutor(max_workers=1)
+                stats_fut = spool.submit(
+                    lambda: _vck.agg(*stat_cols).collect()[0]
                 )
+                spool.shutdown(wait=False)
             else:
+                # synchronous order (A/B leg): eager checkpoint job now, the
+                # stats agg runs after the driver build over cached blocks
                 verified = verified.localCheckpoint(True, self._ckpt_level)
             batch = verified  # every batch column survives verify_batch
-            stats = observed_metrics(obs)  # {} iff the batch was empty
+            # previous wave's tail: join it BEFORE anything reads HEAD (the
+            # admit tree build below embeds the seen table at HEAD, and the
+            # early-commit appends chain from HEAD manifests). Under overlap
+            # the select job may still be running — the tail's jobs were
+            # overlapped with it anyway, and nothing the tail frees is an
+            # input of the running job (the select reads the pending
+            # frontier manifest from parquet and the still-pending hs delta,
+            # which _wait_tail defers to the NEXT tail's frees).
+            self._wait_tail()
+            log_rows = batch.select(F.lit(wave).alias("wave"), "priority", "url")
+
+            redirected = verified.filter(F.col("redirected"))
+            settled = verified.filter(~F.col("redirected"))
+            report_rows = settled.select(
+                F.col("final_url").alias("verified_url"),
+                F.col("parent_url"),
+                F.col("is_internal_final").alias("is_internal"),
+                F.col("resource_type"),
+                F.col("status_code"),
+            )
+            seen_updates = settled.select(
+                F.col("final_hash").alias("key_hash"),
+                F.col("final_url").alias("key"),
+                F.col("status_code"),
+                F.lit(wave).alias("wave"),
+            )
+            renderable = settled.filter(
+                F.col("is_internal_final")
+                & ~is_broken_col(F.col("status_code"))
+                & (F.coalesce(F.col("size"), F.lit(0)) <= cfg.max_renderable_size)
+                & F.col("resource_type").isin(*RENDERABLE_TYPES)
+                & F.col("is_extracted")
+                & (F.col("status_pre") == 0)
+            )
+            _t_ca = time.time()
+            admissions = self._collect_admissions(renderable, redirected)
+            if self.verbose:
+                print(
+                    f"[helix-spark]     admissions-build {time.time() - _t_ca:.1f}s",
+                    flush=True,
+                )
+            # join-strategy estimate = prev wave's observed candidates ×4,
+            # CLAMPED from below by a driver-known UPPER BOUND on this
+            # wave's batch count (the exact count is still in flight under
+            # overlap) × the max out-degree ever observed (×2 headroom): a
+            # batch-size spike — the common way "prev wave ×4"
+            # underestimates — can never route an over-limit candidate set
+            # into the broadcast-semi path (driver OOM risk, round-3
+            # ADVICE). batch ≤ live rows and ≤ one budget per registered
+            # host, so the bound only OVERestimates — which can only flip
+            # the seen-join strategy toward the conservative shuffle-anti /
+            # bloom-bypass side (operators/dedup.anti_join_seen thresholds).
+            est = self._est_candidates
+            if est is not None and self._max_out_degree:
+                batch_bound = self.live
+                if self.n_hosts:
+                    batch_bound = min(
+                        batch_bound, self.n_hosts * cfg.per_host_budget
+                    )
+                est = max(est, batch_bound * self._max_out_degree * 2)
+            fresh = self._admit_prepare(admissions, est_candidates=est)
+            nb_hs_read = wh.num_buckets("host_state")
+            _t_sj = time.time()
+            if stats_fut is not None:
+                stats = stats_fut.result().asDict()
+            else:
+                stats = verified.agg(*stat_cols).collect()[0].asDict()
+            if self.verbose:
+                print(
+                    f"[helix-spark]     select driver={t_drv:.1f}s "
+                    f"stats-join={time.time() - _t_sj:.1f}s "
+                    f"(overlapped-build={_t_sj - t0_sv - t_drv:.1f}s)",
+                    flush=True,
+                )
             _mark("select+verify")
             batch_count = stats.get("n") or 0
             if batch_count == 0:
-                # logical-clock tick: every queued host is still delayed.
-                # Join the previous wave's tail first — commits are ordered.
-                self._wait_tail()
+                # logical-clock tick: every queued host is still delayed
+                # (the tail was already joined above — commits stay ordered;
+                # the admit tree built for this wave is lazy and unused)
                 wh.commit(wave, {}, metrics={
                     "counter": self.counter, "live": self.live, "batch": 0,
                     "n_hosts": self.n_hosts,
@@ -1138,12 +1272,6 @@ class CrawlEngine:
                 wave += 1
                 continue
             total_fetched += batch_count
-            # pipelined commit: the previous wave's tail overlapped the
-            # select phase above; join it BEFORE anything reads HEAD (the
-            # early-commit appends, the admit's seen anti-join, the bloom)
-            # — every downstream read sees a fully committed wave
-            self._wait_tail()
-            log_rows = batch.select(F.lit(wave).alias("wave"), "priority", "url")
 
             if stats.get("seed_redirects"):
                 # redirect at a seed aborts the crawl (CoordinatorBlock.cs:215-226).
@@ -1161,30 +1289,6 @@ class CrawlEngine:
                                    "aborted": True})
                 return CrawlOutcome(wave + 1, True, total_fetched)
 
-            redirected = verified.filter(F.col("redirected"))
-            settled = verified.filter(~F.col("redirected"))
-            report_rows = settled.select(
-                F.col("final_url").alias("verified_url"),
-                F.col("parent_url"),
-                F.col("is_internal_final").alias("is_internal"),
-                F.col("resource_type"),
-                F.col("status_code"),
-            )
-            seen_updates = settled.select(
-                F.col("final_hash").alias("key_hash"),
-                F.col("final_url").alias("key"),
-                F.col("status_code"),
-                F.lit(wave).alias("wave"),
-            )
-
-            renderable = settled.filter(
-                F.col("is_internal_final")
-                & ~is_broken_col(F.col("status_code"))
-                & (F.coalesce(F.col("size"), F.lit(0)) <= cfg.max_renderable_size)
-                & F.col("resource_type").isin(*RENDERABLE_TYPES)
-                & F.col("is_extracted")
-                & (F.col("status_pre") == 0)
-            )
             # EARLY commit half: the crawl-log append and the SETTLED halves
             # of the report/seen appends depend only on the verify
             # checkpoint, not on admit — submit them now so their table
@@ -1229,29 +1333,17 @@ class CrawlEngine:
                     },
                     "obs_report": obs_settled,
                 }
-            # admissions ≈ batch × out-degree: re-size the admit job's fanout
+            # admissions ≈ batch × out-degree: re-size the admit job's
+            # fanout (a conf read at ACTION time — the admit tree was built
+            # earlier, under the select job, but its physical planning
+            # happens at the rank-job submission below)
             self._set_shuffle_fanout(batch_count * 4)
-            _t_ca = time.time()
-            admissions = self._collect_admissions(renderable, redirected)
-            if self.verbose:
-                print(
-                    f"[helix-spark]     admissions-build {time.time() - _t_ca:.1f}s",
-                    flush=True,
+            new_frontier, admit_report, admit_seen, counts, n_frontier, new_hbs = (
+                self._admit_finish(
+                    fresh, wave + 1,
+                    boundaries=stats.get("rank_bounds"),
+                    host_bucket_mod=nb_hs_read or None,
                 )
-            # join-strategy estimate = prev wave's observed candidates ×4,
-            # CLAMPED from below by this wave's exact batch count × the max
-            # out-degree ever observed (×2 headroom): a batch-size spike —
-            # the common way "prev wave ×4" underestimates — can no longer
-            # route an over-limit candidate set into the broadcast-semi path
-            # (driver OOM risk, round-3 ADVICE). Out-degree is a site
-            # property and far more stationary than batch size.
-            est = self._est_candidates
-            if est is not None and self._max_out_degree:
-                est = max(est, batch_count * self._max_out_degree * 2)
-            new_frontier, admit_report, admit_seen, counts, n_frontier = self.admit(
-                admissions, wave + 1,
-                boundaries=stats.get("rank_bounds"),
-                est_candidates=est,
             )
             # next wave's join-strategy estimate: waves are self-similar, and
             # post-dedup candidates exceed post-anti admissions — pad 4× so
@@ -1275,18 +1367,11 @@ class CrawlEngine:
             # cannot match across buckets), so the per-wave scan is
             # O(new-host buckets' rows), not O(all appended rows) between
             # compactions (round-5 ADVICE; the 10^9-host posture the
-            # politeness docstring promises). One tiny distinct job over
-            # the already-checkpointed admit output computes the bucket ids.
+            # politeness docstring promises). The bucket ids RIDE the admit
+            # rank's per-bucket counts job (_admit_finish host_bucket_mod) —
+            # no separate distinct job on the commit critical path.
             hs_anti_src = None
-            nb_hs_read = wh.num_buckets("host_state")
             if nb_hs_read:
-                new_hbs = sorted(
-                    r["b"]
-                    for r in new_frontier.select(
-                        F.pmod(F.xxhash64(F.col("host")), F.lit(nb_hs_read))
-                        .cast("int").alias("b")
-                    ).distinct().collect()
-                )
                 hs_anti_src = self.read_host_state(
                     buckets=new_hbs, resolve=False
                 )

@@ -35,6 +35,9 @@ CFG_OVERRIDES = {
     # round-6: synchronous wave commit (the pre-pipelining order) vs the
     # pipelined default
     "sync_commit": {"pipelined_commit": False},
+    # round-6 extension: synchronous select stats (eager checkpoint + sync
+    # agg) vs the overlapped lazy-materialization default
+    "sync_select": {"overlap_select_build": False},
 }
 
 # env-var overrides per variant (set before the engine builds its session /
