@@ -919,8 +919,43 @@ class CrawlEngine:
         self._ingest_filters(seen)
         self.counter += sum(counts.values())
         self.live += n_frontier
-        self._commit_wave(-1, frontier, report, seen, None, 0, counts,
-                          n_frontier=n_frontier)
+        # Register the bootstrapped hosts (cursor −1, eligible now) — the
+        # exact defaults the select join coalesces for an ABSENT host, so
+        # selection is unchanged. Without this the bootstrap was the one
+        # frontier producer violating the "host_state covers every frontier
+        # host" invariant the pipelined commit's incremental fresh-host
+        # count relies on: bootstrapped hosts are fetched before ever being
+        # 'fresh' (their first host_state row carries a real cursor), the
+        # count never sees them, n_hosts stays near 0, and at ≥
+        # cfg.host_state_lsm_min_hosts the LSM migration NEVER fires — an
+        # O(total hosts) host_state overwrite every wave plus a wrong input
+        # to the politeness broadcast-vs-shuffle decision (measured:
+        # scripts/lsm_bench.py at 120k hosts registered n_hosts=7, zero LSM
+        # buckets). The bootstrap commit's full-overwrite Observation sets
+        # n_hosts and the cursor-minima cache exactly.
+        new_hosts = None
+        hs = self.read_host_state()
+        if n_frontier > 0:
+            new_hosts = frontier.select("host").distinct().select(
+                "host",
+                F.lit(0).cast("long").alias("next_allowed_wave"),
+                F.lit(-1).cast("long").alias("cursor"),
+            )
+            if hs is not None:
+                # bootstrap onto an existing warehouse: same composition as
+                # _enqueue_urls — keep registered hosts, add genuinely-new
+                # ones (and make the cursor cache exact before any LSM merge)
+                if self.wh.num_buckets("host_state"):
+                    self._cursor_mins(hs)
+                new_hosts = new_hosts.join(
+                    self.read_host_state(resolve=False).select("host"),
+                    on="host", how="left_anti",
+                )
+                hs = hs.unionByName(new_hosts)
+            else:
+                hs = new_hosts
+        self._commit_wave(-1, frontier, report, seen, hs, 0, counts,
+                          n_frontier=n_frontier, host_updates=new_hosts)
         free_local_checkpoint(frontier)  # committed to parquet; blocks dead
         # seed the first wave's join-strategy estimate from the backlog size
         self._est_candidates = max(sum(counts.values()), 1) * 4
