@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from helix_spark.functions.status import resource_type_col
-from helix_spark.functions.urls import STATUS_FAILED, canonical_url_col, url_hash_col
+from helix_spark.functions.urls import (
+    STATUS_FAILED,
+    url_hash_col,
+    with_canonical_url_2step,
+)
 
 MAX_REDIRECT_HOPS = 10
 
@@ -41,20 +45,33 @@ def prepare_pages_store(pages: DataFrame, sort_query: bool = True) -> DataFrame:
     a different one would miss every multi-param-query URL.
 
     The iterative resolution runs once, joins only the still-redirecting
-    subset each hop, and the result is persisted by the caller."""
-    canon = canonical_url_col(F.col("url"), sort_query=sort_query)
+    subset each hop, and the result is persisted by the caller.
+
+    Canonicalization runs in the MULTI-PROJECTION form (with_canonical_
+    url_2step — bit-identical to the one-step Column, pinned by
+    tests/test_urls.py): the one-step tree re-evaluates its inlined shared
+    subexpressions per reference AND per internal occurrence (interpreted —
+    the array_sort lambda blocks codegen), and this store prep referenced
+    it three times per page row (url hash, url, redirect_to). One-time
+    engine-init cost, but it is O(corpus) work."""
     load = (
         F.col("load_ms").cast("long")
         if "load_ms" in pages.columns
         else F.lit(None).cast("long")
     )
-    base = pages.select(
-        url_hash_col(canon).alias("url_hash"),
-        canon.alias("p_url"),
+    src = with_canonical_url_2step(
+        pages, F.col("url"), out="__canon", sort_query=sort_query
+    )
+    src = with_canonical_url_2step(
+        src, F.col("redirect_to"), out="__canon_next", sort_query=sort_query
+    )
+    base = src.select(
+        url_hash_col(F.col("__canon")).alias("url_hash"),
+        F.col("__canon").alias("p_url"),
         F.col("status_code").cast("int").alias("p_status"),
         F.col("content_type").alias("p_ctype"),
         F.col("size").cast("long").alias("p_size"),
-        canonical_url_col(F.col("redirect_to"), sort_query=sort_query).alias("p_next"),
+        F.col("__canon_next").alias("p_next"),
         load.alias("p_load"),
     ).persist()
 

@@ -62,7 +62,6 @@ from helix_spark.functions.urls import (
     STATUS_MALFORMED_URI,
     STATUS_URI_SCHEME_NOT_SUPPORTED,
     canonical_status_col,
-    canonical_url_col,
     canonicalize_url_py,
     resolve_url_col,
     with_canonical_url_2step,
@@ -153,11 +152,15 @@ class CrawlEngine:
         self.pages_store = _keyed_ckpt(
             prepare_pages_store(pages, sort_query=cfg.sort_query), "url_hash"
         )
+        # 2-step canonicalization here too: even a single reference of the
+        # one-step tree re-evaluates its INLINED shared subexpressions per
+        # row (interpreted — see with_canonical_url_2step), and this runs
+        # over the whole HTML corpus at init
         self.pages_html = _keyed_ckpt(
-            pages.filter(F.col("html") != "").select(
-                canonical_url_col(F.col("url"), sort_query=cfg.sort_query).alias("final_url"),
-                "html",
-            ),
+            with_canonical_url_2step(
+                pages.filter(F.col("html") != ""), F.col("url"),
+                out="final_url", sort_query=cfg.sort_query,
+            ).select("final_url", "html"),
             "final_url",
         )
         self.assets = _keyed_ckpt(page_assets, "page_url")
